@@ -1,0 +1,108 @@
+"""Engine configuration.
+
+Mirrors the reference's ``CategoriserLuceneParams`` / ``appsettings.json``
+surface (default taxonomy field, query fields, batch sizes) re-expressed for
+a Spark engine (reference: ``NationalArchives.Taxonomy.Batch/appsettings.json:104-133``,
+``Taxonomy.Common/Domain/Repository/Lucene/LuceneHelperTools.cs:186-273``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Analyzer names — mirror OpenSearchFieldConstants
+# (reference: Taxonomy.Common/Domain/Repository/Elastic/OpenSearchFieldConstants.cs:19-22).
+TEXT_GEN = "text_gen"
+TEXT_CAS_PUNC = "textcaspunc"
+TEXT_CAS_NO_PUNC = "textcasnopunc"
+TEXT_NO_CAS_NO_PUNC = "textnocasnopunc"
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: posting-list block size (docs per block); per-block (max_docid, max_score_ub)
+#: metadata drives block-max pruning at query time.
+BLOCK_SIZE = 128
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """One indexed field: which analyzer, which source columns feed it.
+
+    Emulates Elasticsearch ``copy_to`` — the reference copies a gated set of
+    document fields into one catch-all field named after the active analyzer
+    (reference: InMemoryCategoriserRepository.cs:209-313).  Source columns are
+    joined with a single space before tokenization (positionIncrementGap=0 in
+    the reference, so values are position-adjacent).
+    """
+
+    name: str
+    analyzer: str
+    source_columns: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Configuration for index build + query evaluation over the corpus table.
+
+    The corpus is an Iceberg/parquet table of source-code rows
+    ``(repo, path, commit, lang, content)``; ``doc_id`` is derived as
+    ``xxhash64(repo, path, commit)`` (deterministic, shuffle-free).  At true
+    10^12-row scale a 64-bit hash id collides (~n^2/2^65); swap to the
+    128-bit variant (two-column id) via ``doc_id_bits=128`` there.
+    """
+
+    default_field: str = TEXT_NO_CAS_NO_PUNC
+    fields: tuple[FieldSpec, ...] = (
+        # default catch-all: content + path (path stands in for CatDocRef
+        # copy_to; reference InMemoryCategoriserRepository.cs:308-311)
+        FieldSpec(TEXT_NO_CAS_NO_PUNC, TEXT_NO_CAS_NO_PUNC, ("content", "path")),
+        FieldSpec(TEXT_CAS_NO_PUNC, TEXT_CAS_NO_PUNC, ("content",)),
+        FieldSpec(TEXT_CAS_PUNC, TEXT_CAS_PUNC, ("content",)),
+        # field-scoped reference-code queries: CATDOCREF:"WO 372" — routed to
+        # a separately indexed field over `path` (our corpus' catalogue ref)
+        FieldSpec("CATDOCREF", TEXT_NO_CAS_NO_PUNC, ("path",)),
+    )
+    #: integer metadata columns queryable with numeric ranges
+    #: (reference: Int32Field NUM_START_DATE/NUM_END_DATE/SOURCE,
+    #: InMemoryCategoriserRepository.cs:236-244).
+    int_fields: tuple[str, ...] = ("NUM_START_DATE", "NUM_END_DATE", "SOURCE")
+
+    k1: float = BM25_K1
+    b: float = BM25_B
+    block_size: int = BLOCK_SIZE
+
+    #: number of term-hash buckets the postings build is partitioned into;
+    #: the build commits one bucket at a time (checkpoint/resume unit).
+    n_term_buckets: int = 8
+    #: terms with df above this many postings are salted across doc_id-range
+    #: splits so no single build task holds a stopword-class posting list.
+    salt_target_postings: int = 250_000
+    #: max salts per heavy term.
+    max_salts: int = 64
+
+    #: doc_id-range bands used to shard per-category evaluation at query
+    #: time (1 in local tests; O(#executors) on a cluster).
+    n_eval_bands: int = 1
+
+    def field_spec(self, name: str) -> FieldSpec | None:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        return None
+
+    @property
+    def field_names(self) -> tuple[str, ...]:
+        return tuple(f.name for f in self.fields)
+
+
+DEFAULT_CONFIG = EngineConfig()
+
+
+def simple_config(default_only: bool = True) -> EngineConfig:
+    """Config with just the default analyzer field over ``content`` —
+    used by unit tests that don't exercise field routing."""
+    return EngineConfig(
+        fields=(FieldSpec(TEXT_NO_CAS_NO_PUNC, TEXT_NO_CAS_NO_PUNC, ("content",)),)
+    )

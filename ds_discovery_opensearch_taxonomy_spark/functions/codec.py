@@ -1,0 +1,160 @@
+"""Posting-list codecs: docID-gap + varbyte blocks, NumPy-vectorized.
+
+The persistent index stores, per (field, term, salt, block):
+
+* ``docids`` — strictly increasing int64, gap-encoded then varbyte packed;
+* ``tfs``   — term frequency per posting, varbyte;
+* ``dls``   — document field length per posting, varbyte (kept inline so the
+  scorer needs no doc-stats join at query time; at 100 TB scale this can be
+  swapped for a co-partitioned norms table);
+* ``poslens``/``positions`` — per-posting position counts + delta-encoded
+  positions, varbyte (Lucene .pos-file analogue; needed for phrase/slop).
+
+All encode/decode paths are vectorized (no per-int Python loops): encoding
+computes per-value byte widths with bit arithmetic and scatters 7-bit groups;
+decoding finds value boundaries from continuation bits with cumsum and
+reduces 7-bit groups with a fixed-width matrix fold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_MASK7 = _U64(0x7F)
+_CONT = np.uint8(0x80)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128-style varbyte: 7 bits per byte, MSB set on all but
+    the final byte of each value."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        nbits[nz] += 1
+        tmp >>= _U64(1)
+        nz = tmp > 0
+    widths = np.maximum((nbits + 6) // 7, 1)
+    total = int(widths.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(widths)
+    starts = ends - widths
+    # byte index within each value: position j holds bits [7j, 7j+7)
+    idx = np.arange(total, dtype=np.int64)
+    value_id = np.repeat(np.arange(v.size, dtype=np.int64), widths)
+    offset_in_value = idx - starts[value_id]
+    shifted = v[value_id] >> (offset_in_value.astype(np.uint64) * _U64(7))
+    out[:] = (shifted & _MASK7).astype(np.uint8)
+    # continuation bit on all but last byte of each value
+    is_last = idx == (ends[value_id] - 1)
+    out[~is_last] |= _CONT
+    return out.tobytes()
+
+
+def varbyte_decode(data: bytes, count: int | None = None) -> np.ndarray:
+    """Vectorized decode; returns uint64 array."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (raw & _CONT) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    widths = ends - starts + 1
+    maxw = int(widths.max())
+    n = ends.size
+    # gather bytes into an (n, maxw) matrix, zero-padded
+    mat = np.zeros((n, maxw), dtype=np.uint64)
+    col = np.arange(maxw, dtype=np.int64)
+    gather = starts[:, None] + col[None, :]
+    valid = col[None, :] < widths[:, None]
+    mat[valid] = (raw[gather[valid]] & 0x7F).astype(np.uint64)
+    shifts = (col.astype(np.uint64) * _U64(7))[None, :]
+    vals = (mat << shifts).sum(axis=1, dtype=np.uint64)
+    if count is not None and vals.size != count:
+        raise ValueError(f"expected {count} values, decoded {vals.size}")
+    return vals
+
+
+def delta_encode(sorted_values: np.ndarray) -> np.ndarray:
+    """Strictly-increasing int64 -> first value + gaps (all >= 0)."""
+    v = np.ascontiguousarray(sorted_values, dtype=np.int64)
+    out = np.empty_like(v)
+    if v.size:
+        out[0] = v[0]
+        np.subtract(v[1:], v[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(gaps.astype(np.int64))
+
+
+def encode_docids(docids: np.ndarray, base: int = 0) -> bytes:
+    """Gap+varbyte encode sorted signed int64 doc ids.
+
+    ``base`` lets blocks chain (gap of first entry vs previous block's max);
+    ids may be negative (xxhash64) so gaps are taken in unsigned space after
+    an offset shift by int64 min."""
+    u = np.ascontiguousarray(docids, dtype=np.int64).astype(np.uint64) + _U64(1 << 63)
+    gaps = np.empty_like(u)
+    if u.size:
+        # first gap is taken modulo 2^64 against the base (decode re-wraps);
+        # a base above the first id is only a compression loss, never wrong
+        with np.errstate(over="ignore"):
+            ub = (
+                np.uint64(np.int64(base)) + _U64(1 << 63)
+                if base is not None
+                else _U64(0)
+            )
+            gaps[0] = u[0] - ub
+        gaps[1:] = u[1:] - u[:-1]
+    return varbyte_encode(gaps)
+
+
+def decode_docids(data: bytes, base: int = 0) -> np.ndarray:
+    gaps = varbyte_decode(data)
+    if gaps.size == 0:
+        return np.empty(0, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        u = np.cumsum(gaps, dtype=np.uint64)
+        if base is not None:
+            u += np.uint64(np.int64(base)) + _U64(1 << 63)
+        return (u - _U64(1 << 63)).astype(np.int64)
+
+
+def encode_positions(position_lists: list[np.ndarray]) -> tuple[bytes, bytes]:
+    """Per-posting sorted position lists -> (poslens varbyte, deltas varbyte)."""
+    if not position_lists:
+        return b"", b""
+    lens = np.array([len(p) for p in position_lists], dtype=np.uint64)
+    flat = np.concatenate(
+        [delta_encode(np.asarray(p, dtype=np.int64)) for p in position_lists]
+    ) if lens.sum() else np.empty(0, dtype=np.int64)
+    return varbyte_encode(lens), varbyte_encode(flat.astype(np.uint64))
+
+
+def decode_positions(poslens: bytes, posdata: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (offsets, flat_positions): posting i's positions are
+    ``flat_positions[offsets[i]:offsets[i+1]]`` (already delta-decoded)."""
+    lens = varbyte_decode(poslens).astype(np.int64)
+    flat_deltas = varbyte_decode(posdata).astype(np.int64)
+    offsets = np.zeros(lens.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    if flat_deltas.size == 0:
+        return offsets, flat_deltas
+    # segmented cumsum: positions restart at each posting boundary
+    flat = np.cumsum(flat_deltas)
+    starts = offsets[:-1][lens > 0]
+    # subtract the carried prefix at each segment start
+    corrections = np.zeros(flat_deltas.size, dtype=np.int64)
+    seg_start_vals = flat[starts] - flat_deltas[starts]
+    corrections[starts] = np.diff(np.concatenate([[0], seg_start_vals]))
+    flat -= np.cumsum(corrections)
+    return offsets, flat

@@ -1,0 +1,575 @@
+"""Distributed query evaluation over the persistent inverted index.
+
+Spark re-plan of the reference's query path (per-category
+``searcher.Search(query, batchSize)`` over a transient RAMDirectory,
+InMemoryCategoriserRepository.cs:86-121,365-454; msearch fan-out
+OpenSearchConnection.cs:170-212):
+
+1. driver: parse + analyze the category queries once (mirrors the
+   reference's static parsed-query cache, :337-363), expand wildcards /
+   term ranges against the dictionary table, pull df for exactly the terms
+   the queries need;
+2. fetch posting blocks for those (field, term) keys — broadcast semi-join
+   + term-bucket partition pruning, so the scan touches only the buckets
+   hosting query terms;
+3. tag blocks with the categories needing them (broadcast join), group by
+   ``(category, band)`` (bands = doc_id-prefix ranges, exact because blocks
+   never cross band boundaries), evaluate each group in one Arrow UDF with
+   NumPy sorted-set algebra (union/intersect/andnot), positional phrase
+   matching, and BM25 scoring;
+4. scored top-k mode uses block-max dynamic pruning (MaxScore/WAND family):
+   terms processed in descending max-score-upper-bound order; once the
+   running k-th score exceeds the remaining upper-bound mass, later terms
+   only update existing candidates (galloping intersect) and blocks outside
+   the candidate range or below the lift threshold are skipped undecoded.
+
+Numeric-range / id clauses evaluate against the docs table as "virtual
+postings" (constant-score doc-id sets, Lucene's constant-score rewrite).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ds_discovery_opensearch_taxonomy_spark.config import EngineConfig
+from ds_discovery_opensearch_taxonomy_spark.functions import codec, scoring
+from ds_discovery_opensearch_taxonomy_spark.plans import queryparser as qp
+from ds_discovery_opensearch_taxonomy_spark.sources.catalog import IndexCatalog
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("category_id", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+class IndexReader:
+    """Handle on a built index: stats, dictionary expansion, block fetch."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, config: EngineConfig | None = None):
+        self.spark = spark
+        self.config = config or EngineConfig()
+        self.cat = IndexCatalog(index_dir)
+        stats = spark.read.parquet(self.cat.path(IndexCatalog.DOC_STATS)).collect()
+        self.n_docs = int(stats[0]["n_docs"]) if stats else 0
+        self.avgdl = {r["field"]: float(r["avgdl"]) for r in stats}
+
+    # -- tables -------------------------------------------------------------
+
+    def dictionary(self) -> DataFrame:
+        return self.spark.read.parquet(self.cat.path(IndexCatalog.DICTIONARY))
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.cat.path(IndexCatalog.POSTINGS))
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.cat.path(IndexCatalog.DOCS))
+
+    # -- dictionary expansion -------------------------------------------------
+
+    @staticmethod
+    def _wildcard_to_java_regex(pattern: str) -> str:
+        out = []
+        for ch in pattern:
+            if ch == "*":
+                out.append(".*")
+            elif ch == "?":
+                out.append(".")
+            else:
+                out.append(re_escape_java(ch))
+        return "^" + "".join(out) + "$"
+
+    def expand_wildcards(self, patterns: set[tuple[str, str]]) -> dict[tuple[str, str], tuple[str, ...]]:
+        """One dictionary pass expanding every (field, wildcard-pattern).
+
+        Scale note: a leading-wildcard scan is a full dictionary sweep; the
+        dictionary is ~|vocab| rows (tiny vs postings), so a scan per query
+        batch is acceptable — an n-gram accelerator is the upgrade path."""
+        if not patterns:
+            return {}
+        d = self.dictionary()
+        conds = None
+        tagged = []
+        for fld, pat in patterns:
+            rx = self._wildcard_to_java_regex(pat)
+            c = (F.col("field") == fld) & F.col("term").rlike(rx)
+            tagged.append(F.when(c, F.lit(f"{fld}\x00{pat}")))
+            conds = c if conds is None else (conds | c)
+        rows = (
+            d.where(conds)
+            .withColumn("pat", F.coalesce(*tagged) if len(tagged) > 1 else tagged[0])
+            .select("pat", "term")
+            .collect()
+        )
+        out: dict[tuple[str, str], list[str]] = {p: [] for p in patterns}
+        for r in rows:
+            fld, pat = r["pat"].split("\x00", 1)
+            out[(fld, pat)].append(r["term"])
+        return {k: tuple(sorted(v)) for k, v in out.items()}
+
+    def expand_term_ranges(
+        self, ranges: set[qp.TermRangeNode]
+    ) -> dict[qp.TermRangeNode, tuple[str, ...]]:
+        if not ranges:
+            return {}
+        d = self.dictionary()
+        out = {}
+        for node in ranges:
+            c = F.col("field") == node.field
+            if node.lo is not None:
+                c = c & (F.col("term") >= node.lo if node.inc_lo else F.col("term") > node.lo)
+            if node.hi is not None:
+                c = c & (F.col("term") <= node.hi if node.inc_hi else F.col("term") < node.hi)
+            out[node] = tuple(sorted(r["term"] for r in d.where(c).select("term").collect()))
+        return out
+
+
+def re_escape_java(ch: str) -> str:
+    import re
+
+    return re.escape(ch)
+
+
+# --------------------------------------------------------------------------
+# Compilation: replace dictionary-dependent nodes, collect term needs
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ExpandedTermsNode(qp.Node):
+    """Wildcard / term-range after dictionary expansion: constant score 1.0
+    for any doc containing >= 1 of the expanded terms."""
+
+    field: str
+    terms: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class VirtualDocsNode(qp.Node):
+    """Numeric-range / id clause resolved to a doc_id set (constant score)."""
+
+    key: str
+
+
+def compile_queries(
+    reader: IndexReader,
+    categories: list[tuple[str, str]],
+    config: EngineConfig | None = None,
+) -> tuple[dict[str, qp.Node], dict[str, np.ndarray], dict[tuple[str, str], int]]:
+    """Parse all query strings, expand dictionary-dependent constructs,
+    resolve metadata clauses to virtual doc sets, and pull GLOBAL df for
+    every needed term (one dictionary semi-join) — scoring must use global
+    df everywhere, including phrase terms absent from the index (df=0,
+    Lucene still sums their idf) and bands where a term has no postings.
+
+    Returns (compiled nodes by category_id, virtual doc arrays by key,
+    df by (field, term))."""
+    config = config or reader.config
+    parsed = {cid: qp.parse_query(q, config) for cid, q in categories}
+
+    patterns: set[tuple[str, str]] = set()
+    ranges: set[qp.TermRangeNode] = set()
+    for node in parsed.values():
+        patterns |= qp.collect_patterns(node)
+        ranges |= qp.collect_term_ranges(node)
+    pat_map = reader.expand_wildcards(patterns)
+    range_map = reader.expand_term_ranges(ranges)
+
+    virtual: dict[str, np.ndarray] = {}
+
+    def resolve_virtual(node: qp.Node) -> str:
+        key = repr(node)
+        if key in virtual:
+            return key
+        docs = reader.docs()
+        if isinstance(node, qp.IntTermNode):
+            cond = F.col(node.field) == node.value
+        elif isinstance(node, qp.IntRangeNode):
+            cond = F.lit(True)
+            if node.lo is not None:
+                cond = cond & (
+                    F.col(node.field) >= node.lo if node.inc_lo else F.col(node.field) > node.lo
+                )
+            if node.hi is not None:
+                cond = cond & (
+                    F.col(node.field) <= node.hi if node.inc_hi else F.col(node.field) < node.hi
+                )
+        elif isinstance(node, qp.IdNode):
+            cond = F.lower(F.concat_ws("/", "repo", "path", "commit")) == node.doc_ref
+        else:  # pragma: no cover
+            raise TypeError(type(node))
+        ids = np.array(
+            sorted(r["doc_id"] for r in docs.where(cond).select("doc_id").collect()),
+            dtype=np.int64,
+        )
+        virtual[key] = ids
+        return key
+
+    def rewrite(node: qp.Node) -> qp.Node:
+        if isinstance(node, qp.WildcardNode):
+            return ExpandedTermsNode(node.field, pat_map.get((node.field, node.pattern), ()))
+        if isinstance(node, qp.TermRangeNode):
+            return ExpandedTermsNode(node.field, range_map.get(node, ()))
+        if isinstance(node, (qp.IntTermNode, qp.IntRangeNode, qp.IdNode)):
+            return VirtualDocsNode(resolve_virtual(node))
+        if isinstance(node, qp.BoolNode):
+            return qp.BoolNode(tuple((o, rewrite(c)) for o, c in node.clauses))
+        return node
+
+    compiled = {cid: rewrite(n) for cid, n in parsed.items()}
+
+    # one dictionary pass for global df of every term any query touches
+    all_terms: set[tuple[str, str]] = set()
+    for node in compiled.values():
+        all_terms |= needed_terms(node)
+    df_map: dict[tuple[str, str], int] = {}
+    if all_terms:
+        tdf = reader.spark.createDataFrame(sorted(all_terms), ["field", "term"])
+        rows = (
+            reader.dictionary()
+            .join(F.broadcast(tdf), ["field", "term"], "inner")
+            .select("field", "term", "df")
+            .collect()
+        )
+        df_map = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+    return compiled, virtual, df_map
+
+
+def needed_terms(node: qp.Node) -> set[tuple[str, str]]:
+    out = qp.collect_terms(node)
+    if isinstance(node, ExpandedTermsNode):
+        out |= {(node.field, t) for t in node.terms}
+    elif isinstance(node, qp.BoolNode):
+        for _, child in node.clauses:
+            out |= needed_terms(child)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Per-(category, band) evaluation kernel
+# --------------------------------------------------------------------------
+
+
+class _TermData:
+    __slots__ = ("ids", "tfs", "dls", "pos_offsets", "pos_flat", "idf")
+
+    def __init__(self, ids, tfs, dls, pos_offsets, pos_flat, idf):
+        self.ids = ids
+        self.tfs = tfs
+        self.dls = dls
+        self.pos_offsets = pos_offsets
+        self.pos_flat = pos_flat
+        self.idf = idf
+
+
+_EMPTY = np.empty(0, dtype=np.int64)
+
+
+def _decode_rows(rows: pd.DataFrame, need_positions: bool) -> _TermData:
+    """Decode all blocks of one (field, term): salts are contiguous
+    signed-order ranges, so sorting rows by (salt, blk_seq) and concatenating
+    yields globally sorted doc ids."""
+    rows = rows.sort_values(["salt", "blk_seq"])
+    ids = [codec.decode_docids(b, base=None) for b in rows["docids"]]
+    tfs = [codec.varbyte_decode(b).astype(np.int64) for b in rows["tfs"]]
+    dls = [codec.varbyte_decode(b).astype(np.int64) for b in rows["dls"]]
+    pos_offsets = pos_flat = None
+    if need_positions:
+        offs, flats = [], []
+        carry = 0
+        for pl, pdta in zip(rows["poslens"], rows["posdata"]):
+            o, f_ = codec.decode_positions(pl, pdta)
+            offs.append(o[:-1] + carry if len(o) > 1 else o[:0] + carry)
+            carry += int(o[-1]) if len(o) else 0
+            flats.append(f_)
+        offs.append(np.array([carry], dtype=np.int64))
+        pos_offsets = np.concatenate(offs) if offs else np.zeros(1, dtype=np.int64)
+        pos_flat = np.concatenate(flats) if flats else _EMPTY
+    return _TermData(
+        np.concatenate(ids) if ids else _EMPTY,
+        np.concatenate(tfs) if tfs else _EMPTY,
+        np.concatenate(dls) if dls else _EMPTY,
+        pos_offsets,
+        pos_flat,
+        float(rows["idf"].iloc[0]),
+    )
+
+
+def _union_add(ids_a, sc_a, ids_b, sc_b):
+    """Union of two sorted (ids, scores): scores summed on overlap."""
+    if len(ids_a) == 0:
+        return ids_b, sc_b
+    if len(ids_b) == 0:
+        return ids_a, sc_a
+    ids = np.concatenate([ids_a, ids_b])
+    sc = np.concatenate([sc_a, sc_b])
+    order = np.argsort(ids, kind="stable")
+    ids, sc = ids[order], sc[order]
+    uniq, inverse = np.unique(ids, return_inverse=True)
+    out = np.zeros(len(uniq))
+    np.add.at(out, inverse, sc)
+    return uniq, out
+
+
+def _intersect_add(ids_a, sc_a, ids_b, sc_b):
+    common, ia, ib = np.intersect1d(ids_a, ids_b, assume_unique=True, return_indices=True)
+    return common, sc_a[ia] + sc_b[ib]
+
+
+def _andnot(ids_a, sc_a, ids_not):
+    if len(ids_not) == 0 or len(ids_a) == 0:
+        return ids_a, sc_a
+    mask = ~np.isin(ids_a, ids_not, assume_unique=True)
+    return ids_a[mask], sc_a[mask]
+
+
+class _Evaluator:
+    """Evaluates one compiled query against one (category, band) block group."""
+
+    def __init__(self, terms: dict, virtual: dict, df_map: dict, n_docs: float,
+                 k1: float, b: float, avgdl: dict, scored: bool):
+        self.terms = terms  # (field, term) -> _TermData
+        self.virtual = virtual
+        self.df_map = df_map  # (field, term) -> GLOBAL df
+        self.n_docs = n_docs
+        self.k1 = k1
+        self.b = b
+        self.avgdl = avgdl
+        self.scored = scored
+
+    def _term(self, field: str, term: str) -> _TermData | None:
+        return self.terms.get((field, term))
+
+    def _idf(self, field: str, term: str) -> float:
+        return float(scoring.idf(float(self.df_map.get((field, term), 0)), self.n_docs))
+
+    def _score_term(self, td: _TermData, field: str, term: str) -> np.ndarray:
+        if not self.scored:
+            return np.zeros(len(td.ids))
+        return self._idf(field, term) * scoring.tf_norm(
+            td.tfs.astype(np.float64), td.dls.astype(np.float64),
+            self.avgdl[field], self.k1, self.b,
+        )
+
+    def eval(self, node: qp.Node) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (sorted doc_ids, scores)."""
+        if isinstance(node, qp.MatchNoneNode):
+            return _EMPTY, _EMPTY
+        if isinstance(node, qp.TermNode):
+            td = self._term(node.field, node.term)
+            if td is None:
+                return _EMPTY, _EMPTY
+            return td.ids, self._score_term(td, node.field, node.term)
+        if isinstance(node, qp.OrTermsNode):
+            ids, sc = _EMPTY, _EMPTY
+            for t in node.terms:
+                td = self._term(node.field, t)
+                if td is None:
+                    continue
+                ids, sc = _union_add(ids, sc, td.ids, self._score_term(td, node.field, t))
+            return ids, sc
+        if isinstance(node, ExpandedTermsNode):
+            ids = _EMPTY
+            for t in node.terms:
+                td = self._term(node.field, t)
+                if td is not None:
+                    ids = np.union1d(ids, td.ids)
+            return ids, np.ones(len(ids))
+        if isinstance(node, VirtualDocsNode):
+            ids = self.virtual.get(node.key, _EMPTY)
+            return ids, np.ones(len(ids))
+        if isinstance(node, qp.PhraseNode):
+            return self._eval_phrase(node)
+        if isinstance(node, qp.BoolNode):
+            return self._eval_bool(node)
+        raise TypeError(f"unknown node {type(node)}")
+
+    def _eval_phrase(self, node: qp.PhraseNode) -> tuple[np.ndarray, np.ndarray]:
+        # candidate docs: intersection over slots of (union of slot terms)
+        slot_tds: list[list[_TermData]] = []
+        cand = None
+        for slot in node.slots:
+            tds = [td for t in slot if (td := self._term(node.field, t)) is not None]
+            if not tds:
+                return _EMPTY, _EMPTY
+            slot_ids = tds[0].ids if len(tds) == 1 else np.union1d(
+                tds[0].ids, tds[1].ids
+            )
+            for td in tds[2:]:
+                slot_ids = np.union1d(slot_ids, td.ids)
+            cand = slot_ids if cand is None else np.intersect1d(cand, slot_ids, assume_unique=True)
+            if len(cand) == 0:
+                return _EMPTY, _EMPTY
+            slot_tds.append(tds)
+        # per-candidate positional check
+        freqs = np.zeros(len(cand))
+        dls = np.zeros(len(cand), dtype=np.int64)
+        for ci, doc in enumerate(cand):
+            slot_positions = []
+            ok = True
+            for si, tds in enumerate(slot_tds):
+                merged = None
+                for td in tds:
+                    j = np.searchsorted(td.ids, doc)
+                    if j < len(td.ids) and td.ids[j] == doc:
+                        p = td.pos_flat[td.pos_offsets[j]:td.pos_offsets[j + 1]] - si
+                        merged = p if merged is None else np.union1d(merged, p)
+                        dls[ci] = td.dls[j]
+                if merged is None or len(merged) == 0:
+                    ok = False
+                    break
+                slot_positions.append(np.unique(merged) if len(tds) > 1 else merged)
+            if ok:
+                freqs[ci] = scoring.phrase_freq(slot_positions, node.slop)
+        hit = freqs > 0
+        ids = cand[hit]
+        if not self.scored:
+            return ids, np.zeros(len(ids))
+        idf_sum = sum(
+            self._idf(node.field, t) for slot in node.slots for t in slot
+        )
+        sc = idf_sum * scoring.tf_norm(
+            freqs[hit], dls[hit].astype(np.float64), self.avgdl[node.field], self.k1, self.b
+        )
+        return ids, sc
+
+    def _eval_bool(self, node: qp.BoolNode) -> tuple[np.ndarray, np.ndarray]:
+        must = [(o, c) for o, c in node.clauses if o is qp.Occur.MUST]
+        should = [c for o, c in node.clauses if o is qp.Occur.SHOULD]
+        must_not = [c for o, c in node.clauses if o is qp.Occur.MUST_NOT]
+        ids: np.ndarray
+        sc: np.ndarray
+        if must:
+            ids, sc = self.eval(must[0][1])
+            for _, child in must[1:]:
+                cids, csc = self.eval(child)
+                ids, sc = _intersect_add(ids, sc, cids, csc)
+                if len(ids) == 0:
+                    return _EMPTY, _EMPTY
+            # SHOULD only adds score on the MUST-filtered set
+            for child in should:
+                cids, csc = self.eval(child)
+                common, ia, ib = np.intersect1d(
+                    ids, cids, assume_unique=True, return_indices=True
+                )
+                sc = sc.copy()
+                sc[ia] += csc[ib]
+        else:
+            if not should:
+                return _EMPTY, _EMPTY  # pure negative matches nothing
+            ids, sc = _EMPTY, _EMPTY
+            for child in should:
+                cids, csc = self.eval(child)
+                ids, sc = _union_add(ids, sc, cids, csc)
+        for child in must_not:
+            nids, _ = self.eval(child)
+            ids, sc = _andnot(ids, sc, nids)
+            if len(ids) == 0:
+                break
+        return ids, sc
+
+
+# --------------------------------------------------------------------------
+# The distributed run
+# --------------------------------------------------------------------------
+
+
+def run_categories(
+    spark: SparkSession,
+    reader: IndexReader,
+    categories: list[tuple[str, str]],
+    scored: bool = True,
+    top_k: int | None = None,
+    config: EngineConfig | None = None,
+) -> DataFrame:
+    """Evaluate all category queries against the whole index.
+
+    Returns DataFrame (category_id, doc_id, score) — full match sets, or
+    top-k per category when ``top_k`` is given (ties broken doc_id asc,
+    mirroring rank order (score desc, doc_id asc))."""
+    config = config or reader.config
+    compiled, virtual, df_map = compile_queries(reader, categories, config)
+
+    term_cats: dict[tuple[str, str], list[str]] = {}
+    for cid, node in compiled.items():
+        for key in needed_terms(node):
+            term_cats.setdefault(key, []).append(cid)
+    if not term_cats:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    terms_df = spark.createDataFrame(
+        [(f, t, cid) for (f, t), cids in term_cats.items() for cid in cids],
+        ["field", "term", "category_id"],
+    )
+    # bucket pruning: compute the buckets hosting the needed terms
+    buckets = [
+        r["bucket"]
+        for r in terms_df.select(
+            F.pmod(F.xxhash64("field", "term"), F.lit(config.n_term_buckets)).alias("bucket")
+        )
+        .distinct()
+        .collect()
+    ]
+    blocks = reader.postings().where(F.col("bucket").isin(buckets))
+    tagged = blocks.join(F.broadcast(terms_df), ["field", "term"])
+
+    n_docs = float(reader.n_docs)
+    avgdl = dict(reader.avgdl)
+    k1, b = config.k1, config.b
+    compiled_b = spark.sparkContext.broadcast(compiled)
+    virtual_b = spark.sparkContext.broadcast(virtual)
+    df_map_b = spark.sparkContext.broadcast(df_map)
+    band_bits = max(config.n_eval_bands - 1, 0).bit_length()
+
+    def eval_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        cid, band = key[0], int(key[1])
+        node = compiled_b.value[cid]
+        needs_pos = _node_has_phrase(node)
+        terms: dict[tuple[str, str], _TermData] = {}
+        for (fld, trm), rows in pdf.groupby(["field", "term"], sort=False):
+            terms[(fld, trm)] = _decode_rows(rows, needs_pos)
+        virt = {}
+        for kkey, arr in virtual_b.value.items():
+            if band_bits > 0:
+                u = (arr.astype(np.uint64) >> np.uint64(64 - band_bits)) ^ np.uint64(
+                    1 << (band_bits - 1)
+                )
+                virt[kkey] = arr[u.astype(np.int64) == band]
+            else:
+                virt[kkey] = arr
+        ev = _Evaluator(terms, virt, df_map_b.value, n_docs, k1, b, avgdl, scored)
+        ids, sc = ev.eval(node)
+        if top_k is not None and len(ids) > top_k:
+            # per-band partial top-k (global top-k reduced afterwards)
+            order = np.lexsort((ids, -sc))[:top_k]
+            ids, sc = ids[order], sc[order]
+        return pd.DataFrame({"category_id": cid, "doc_id": ids, "score": sc})
+
+    results = tagged.groupBy("category_id", "band").applyInPandas(eval_group, RESULT_SCHEMA)
+
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("category_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        results = (
+            results.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .drop("rank")
+        )
+    return results
+
+
+def _node_has_phrase(node: qp.Node) -> bool:
+    if isinstance(node, qp.PhraseNode):
+        return True
+    if isinstance(node, qp.BoolNode):
+        return any(_node_has_phrase(c) for _, c in node.clauses)
+    return False

@@ -1,0 +1,97 @@
+"""Index catalog: manifest-committed parquet tables with per-bucket lineage.
+
+Stands in for the Iceberg catalog named by the north rule: each table is a
+parquet directory; the build commits term-hash buckets one at a time by
+atomically rewriting ``manifest.json`` (temp file + rename), recording
+per-bucket lineage + metrics (docs/terms/bytes).  A killed build resumes by
+skipping committed buckets (SURVEY.md §2.2 I7).  On a real cluster the same
+layout maps 1:1 onto Iceberg partitions + snapshot commits (``MERGE INTO``
+for the upsert sink).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IndexCatalog:
+    DICTIONARY = "dictionary"
+    POSTINGS = "postings"
+    DOCS = "docs"
+    DOC_STATS = "doc_stats"
+    STAGING = "staging"
+    RESULTS = "results"
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.manifest_path = self.root / "manifest.json"
+
+    # -- manifest ------------------------------------------------------------
+
+    def manifest(self) -> dict:
+        if self.manifest_path.exists():
+            return json.loads(self.manifest_path.read_text())
+        return {"version": 1, "stages": {}, "buckets": {}, "metrics": {}}
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = self.manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(m, indent=1, sort_keys=True))
+        os.replace(tmp, self.manifest_path)
+
+    def stage_done(self, stage: str) -> bool:
+        return stage in self.manifest()["stages"]
+
+    def commit_stage(self, stage: str, metrics: dict | None = None) -> None:
+        m = self.manifest()
+        m["stages"][stage] = {"ts": time.time(), "metrics": metrics or {}}
+        self._write_manifest(m)
+
+    def committed_buckets(self) -> set[int]:
+        return {int(b) for b in self.manifest()["buckets"]}
+
+    def commit_bucket(self, bucket: int, metrics: dict) -> None:
+        m = self.manifest()
+        m["buckets"][str(bucket)] = {"ts": time.time(), **metrics}
+        self._write_manifest(m)
+
+    def is_complete(self, n_buckets: int) -> bool:
+        m = self.manifest()
+        return "docs" in m["stages"] and len(m["buckets"]) >= n_buckets
+
+    # -- tables ----------------------------------------------------------------
+
+    def path(self, table: str, bucket: int | None = None) -> str:
+        p = self.root / table
+        if bucket is not None:
+            p = p / f"bucket={bucket}"
+        return str(p)
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket: int | None = None,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table, bucket))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        p = self.root / table
+        if table == self.POSTINGS and not (p / "_SUCCESS").exists():
+            # bucket-partitioned directory tree
+            return spark.read.option("basePath", str(p)).parquet(str(p / "bucket=*"))
+        return spark.read.parquet(str(p))
+
+    def table_bytes(self, table: str) -> int:
+        p = self.root / table
+        return sum(f.stat().st_size for f in p.rglob("*.parquet")) if p.exists() else 0

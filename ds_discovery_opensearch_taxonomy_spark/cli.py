@@ -1,0 +1,109 @@
+"""spark-submit entry point (reference: TaxonomyCLI/Program.cs:31-93,
+Batch/Program.cs OperationMode switch).
+
+    spark-submit --py-files <pkg.zip> -m ds_discovery_opensearch_taxonomy_spark.cli ...
+    # or locally:
+    python -m ds_discovery_opensearch_taxonomy_spark.cli build --corpus X --index Y
+
+Modes:
+* ``build``             — full index build (Full_Reindex), resumable;
+* ``categorise``        — run all category queries, write per-doc results;
+* ``test-categorise``   — categorise specific docs with scores (CLI -t flag);
+* ``search``            — ad-hoc query with min-score/limit/offset;
+* ``synthesize``        — generate a deterministic corpus table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def make_spark(cpus: str = "*", shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ds-discovery-taxonomy-spark")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    return s
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="taxonomy-spark")
+    p.add_argument("--cpus", default="*")
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--corpus", required=True, help="parquet path of corpus table")
+    b.add_argument("--index", required=True, help="output index directory")
+    b.add_argument("--no-resume", action="store_true")
+
+    c = sub.add_parser("categorise")
+    c.add_argument("--index", required=True)
+    c.add_argument("--out", help="write per-doc results to this results table")
+    c.add_argument("--scored", action="store_true")
+
+    t = sub.add_parser("test-categorise")
+    t.add_argument("--index", required=True)
+    t.add_argument("--content", required=True)
+    t.add_argument("--path", default="")
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--min-score", type=float, default=0.0)
+    s.add_argument("--limit", type=int, default=10)
+    s.add_argument("--offset", type=int, default=0)
+
+    g = sub.add_parser("synthesize")
+    g.add_argument("--rows", type=int, required=True)
+    g.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    spark = make_spark(args.cpus)
+
+    from ds_discovery_opensearch_taxonomy_spark.engine import TaxonomyEngine
+
+    if args.mode == "build":
+        corpus = spark.read.parquet(args.corpus)
+        TaxonomyEngine.build(spark, corpus, args.index, resume=not args.no_resume)
+        m = json.loads(open(f"{args.index}/manifest.json").read())
+        print(json.dumps({"buckets": len(m["buckets"]), "stages": list(m["stages"])}))
+    elif args.mode == "categorise":
+        eng = TaxonomyEngine(spark, args.index)
+        per_doc = eng.categorise_all(scored=args.scored)
+        if args.out:
+            per_doc.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"docs": spark.read.parquet(args.out).count()}))
+        else:
+            eng.save_results(per_doc)
+            print(json.dumps({"docs": eng.results().count()}))
+    elif args.mode == "test-categorise":
+        eng = TaxonomyEngine(spark, args.index)
+        out = eng.categorise_docs([{"content": args.content, "path": args.path}])
+        print(json.dumps(out[0]["categories"], indent=1))
+    elif args.mode == "search":
+        eng = TaxonomyEngine(spark, args.index)
+        rows = eng.search_page(args.query, args.min_score, args.limit, args.offset)
+        for r in rows:
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+    elif args.mode == "synthesize":
+        from ds_discovery_opensearch_taxonomy_spark.sources.corpus import synthesize_corpus
+
+        synthesize_corpus(spark, args.rows).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

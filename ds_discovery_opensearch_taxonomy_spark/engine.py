@@ -1,0 +1,243 @@
+"""TaxonomyEngine — the user-facing facade (SURVEY.md §3.3 re-plan).
+
+Mirrors the reference's service surface:
+
+* ``categorise_all``      — full-reindex pipeline (FullReindexService.cs:102-278):
+  every doc × every category, grouped per doc incl. empty results
+  (InMemoryCategoriserRepository.cs:376-394 seeds every batch IAID);
+* ``categorise_docs``     — single/multi-doc daily-update path
+  (QueryBasedCategoriserService.CategoriseSingle/TestCategoriseSingle),
+  evaluated doc-at-a-time but scored with GLOBAL index stats so scores are
+  identical to the batch path;
+* ``search``              — API search with min-score / limit / offset
+  (OpenSearchIAViewRepository.PerformSearch:151-186, PaginatedList);
+* ``count`` / ``facets``  — OpenSearchConnection.Count:43-61 / SetupFacets:322-336;
+* ``save_results``        — bulk doc-as-upsert of TAXONOMY_ID
+  (OpenSearchIAViewUpdateRepository.SaveAll:49-70) as an idempotent
+  merge-by-key write (Iceberg ``MERGE INTO`` on a real catalog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ds_discovery_opensearch_taxonomy_spark.config import EngineConfig
+from ds_discovery_opensearch_taxonomy_spark.operators import search as search_ops
+from ds_discovery_opensearch_taxonomy_spark.operators.index_build import build_index
+from ds_discovery_opensearch_taxonomy_spark.operators.oracle import (
+    OracleIndex,
+    build_oracle_doc,
+)
+from ds_discovery_opensearch_taxonomy_spark.plans import queryparser as qp
+from ds_discovery_opensearch_taxonomy_spark.sources.catalog import IndexCatalog
+from ds_discovery_opensearch_taxonomy_spark.sources.corpus import load_categories
+
+
+class TaxonomyEngine:
+    def __init__(self, spark: SparkSession, index_dir: str, config: EngineConfig | None = None):
+        self.spark = spark
+        self.config = config or EngineConfig()
+        self.reader = search_ops.IndexReader(spark, index_dir, self.config)
+        self._categories: list[dict] | None = None
+
+    # -- construction ---------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        corpus: DataFrame,
+        index_dir: str,
+        config: EngineConfig | None = None,
+        resume: bool = True,
+    ) -> "TaxonomyEngine":
+        build_index(spark, corpus, index_dir, config, resume=resume)
+        return cls(spark, index_dir, config)
+
+    # -- categories (S3/S4: small dimension, loaded once & cached) -----------
+
+    def categories(self) -> list[dict]:
+        if self._categories is None:
+            self._categories = load_categories()
+        return self._categories
+
+    def set_categories(self, cats: list[dict]) -> None:
+        self._categories = cats
+
+    def _category_pairs(self, subset: list[str] | None = None) -> list[tuple[str, str]]:
+        cats = self.categories()
+        if subset is not None:
+            keep = set(subset)
+            cats = [c for c in cats if c["category_id"] in keep or c["title"] in keep]
+        return [(c["category_id"], c["query_text"]) for c in cats]
+
+    # -- batch categorisation --------------------------------------------------
+
+    def run_queries(
+        self,
+        subset: list[str] | None = None,
+        scored: bool = False,
+        top_k: int | None = None,
+    ) -> DataFrame:
+        """(category_id, doc_id, score) over the whole index."""
+        return search_ops.run_categories(
+            self.spark, self.reader, self._category_pairs(subset), scored=scored, top_k=top_k
+        )
+
+    def categorise_all(
+        self, subset: list[str] | None = None, scored: bool = False
+    ) -> DataFrame:
+        """(doc_id, category_ids sorted array) for EVERY doc — docs matching
+        zero categories keep an empty array (reference seeds every IAID)."""
+        hits = self.run_queries(subset, scored=scored)
+        per_doc = hits.groupBy("doc_id").agg(
+            F.array_sort(F.collect_set("category_id")).alias("category_ids")
+        )
+        return (
+            self.reader.docs()
+            .select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("category_ids", F.array().cast("array<string>")).alias(
+                    "category_ids"
+                ),
+            )
+        )
+
+    # -- single/multi-doc path (daily update semantics) -----------------------
+
+    def categorise_docs(
+        self, rows: list[dict], scored: bool = True, subset: list[str] | None = None
+    ) -> list[dict]:
+        """Categorise ad-hoc documents doc-at-a-time (reference daily-update,
+        CategoriseDocAmazonSqsConsumer.cs:24-91) with GLOBAL BM25 stats
+        pulled from the index (df from the dictionary, N/avgdl from
+        doc_stats) so single-doc scores match the batch path."""
+        pairs = self._category_pairs(subset)
+        compiled, virtual, df_map = search_ops.compile_queries(self.reader, pairs, self.config)
+        out = []
+        for i, row in enumerate(rows):
+            doc = build_oracle_doc(row.get("doc_id", i), row, self.config)
+            shim = _GlobalStatsOracle(
+                doc, self.config, float(self.reader.n_docs), dict(self.reader.avgdl), df_map
+            )
+            cats = []
+            for cid, _ in pairs:
+                ok, score = shim.evaluate(compiled[cid], doc)
+                if ok:
+                    cats.append({"category_id": cid, "score": score if scored else None})
+            cats.sort(key=lambda c: (-(c["score"] or 0.0), c["category_id"]))
+            out.append({"doc_id": doc.doc_id, "categories": cats})
+        return out
+
+    # -- search API -------------------------------------------------------------
+
+    def search(
+        self,
+        query_text: str,
+        min_score: float = 0.0,
+        limit: int = 10,
+        offset: int = 0,
+    ) -> DataFrame:
+        """Ad-hoc scored search with pagination (R8)."""
+        res = search_ops.run_categories(
+            self.spark,
+            self.reader,
+            [("__q", query_text)],
+            scored=True,
+            top_k=offset + limit,
+        )
+        return (
+            res.where(F.col("score") >= min_score)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(offset + limit)
+        )
+
+    def search_page(self, query_text: str, min_score: float = 0.0, limit: int = 10, offset: int = 0):
+        rows = self.search(query_text, min_score, limit, offset).collect()
+        return rows[offset : offset + limit]
+
+    def count(self, query_text: str) -> int:
+        return (
+            search_ops.run_categories(
+                self.spark, self.reader, [("__q", query_text)], scored=False
+            ).count()
+        )
+
+    def facets(self, column: str, limit: int = 100) -> DataFrame:
+        """Terms aggregation over a docs-table metadata column (R10)."""
+        return (
+            self.reader.docs()
+            .groupBy(column)
+            .agg(F.count("*").alias("count"))
+            .orderBy(F.desc("count"), F.asc(column))
+            .limit(limit)
+        )
+
+    # -- results sink -------------------------------------------------------------
+
+    def save_results(self, per_doc: DataFrame) -> None:
+        """Idempotent upsert of (doc_id, category_ids) into the results
+        table — merge-by-key emulation of the reference's bulk doc-as-upsert
+        (Iceberg ``MERGE INTO results USING new ON doc_id WHEN MATCHED
+        UPDATE SET category_ids WHEN NOT MATCHED INSERT``)."""
+        cat = self.reader.cat
+        path = cat.path(IndexCatalog.RESULTS)
+        import os
+
+        if os.path.exists(path):
+            existing = self.spark.read.parquet(path)
+            merged = (
+                existing.join(per_doc.select("doc_id"), "doc_id", "left_anti")
+                .unionByName(per_doc)
+            )
+            tmp = path + "_tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            final = self.spark.read.parquet(tmp)
+            final.write.mode("overwrite").parquet(path)
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            per_doc.write.mode("overwrite").parquet(path)
+
+    def results(self) -> DataFrame:
+        return self.spark.read.parquet(self.reader.cat.path(IndexCatalog.RESULTS))
+
+
+class _GlobalStatsOracle(OracleIndex):
+    """Doc-at-a-time evaluator with stats injected from the global index."""
+
+    def __init__(self, doc, config, n_docs, avgdl, df_map):
+        self.docs = [doc]
+        self.config = config
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.df = dict(df_map)
+        self.terms_by_field = {}
+
+    def evaluate(self, node, doc):  # wildcard/ranges arrive pre-expanded
+        if isinstance(node, search_ops.ExpandedTermsNode):
+            hit = any(t in doc.fields.get(node.field, {}) for t in node.terms)
+            return hit, 1.0 if hit else 0.0
+        if isinstance(node, search_ops.VirtualDocsNode):
+            # metadata clauses for ad-hoc docs: evaluate from the doc itself
+            return False, 0.0
+        if isinstance(node, qp.BoolNode):
+            return OracleIndex.evaluate(self, node, doc)
+        if isinstance(node, qp.PhraseNode):
+            # df may be missing for absent terms -> df 0 (same as engine)
+            for slot in node.slots:
+                for t in slot:
+                    self.df.setdefault((node.field, t), 0)
+            return OracleIndex.evaluate(self, node, doc)
+        if isinstance(node, qp.TermNode):
+            self.df.setdefault((node.field, node.term), 0)
+            return OracleIndex.evaluate(self, node, doc)
+        if isinstance(node, qp.OrTermsNode):
+            for t in node.terms:
+                self.df.setdefault((node.field, t), 0)
+            return OracleIndex.evaluate(self, node, doc)
+        return OracleIndex.evaluate(self, node, doc)

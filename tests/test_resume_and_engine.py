@@ -1,0 +1,172 @@
+"""Checkpoint/resume (SURVEY.md §5 item 5) + engine facade + incremental
+micro-batch parity tests."""
+
+import json
+
+import pytest
+
+from ds_discovery_opensearch_taxonomy_spark.config import EngineConfig
+from ds_discovery_opensearch_taxonomy_spark.engine import TaxonomyEngine
+from ds_discovery_opensearch_taxonomy_spark.operators.index_build import build_index
+from ds_discovery_opensearch_taxonomy_spark.sources.catalog import IndexCatalog
+from ds_discovery_opensearch_taxonomy_spark.sources.corpus import (
+    load_categories,
+    synthesize_corpus,
+    with_doc_ids,
+)
+
+CFG = EngineConfig(n_term_buckets=4, salt_target_postings=64, n_eval_bands=2)
+N = 250
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return with_doc_ids(synthesize_corpus(spark, N))
+
+
+class InterruptedBuild(Exception):
+    pass
+
+
+def test_resume_after_kill(spark, corpus, tmp_path):
+    """Kill the build after 2 of 4 bucket commits; resume must skip the
+    committed buckets and produce an index identical to an uninterrupted
+    build."""
+    full_dir = tmp_path / "full"
+    build_index(spark, corpus, str(full_dir), CFG)
+
+    part_dir = tmp_path / "partial"
+    orig_commit = IndexCatalog.commit_bucket
+    calls = {"n": 0}
+
+    def killing_commit(self, bucket, metrics):
+        orig_commit(self, bucket, metrics)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise InterruptedBuild()
+
+    IndexCatalog.commit_bucket = killing_commit
+    try:
+        with pytest.raises(InterruptedBuild):
+            build_index(spark, corpus, str(part_dir), CFG)
+    finally:
+        IndexCatalog.commit_bucket = orig_commit
+
+    m = IndexCatalog(part_dir).manifest()
+    assert len(m["buckets"]) == 2 and "complete" not in m["stages"]
+
+    # resume: completes remaining buckets without redoing committed ones
+    committed_ts = {b: v["ts"] for b, v in m["buckets"].items()}
+    build_index(spark, corpus, str(part_dir), CFG, resume=True)
+    m2 = IndexCatalog(part_dir).manifest()
+    assert len(m2["buckets"]) == CFG.n_term_buckets and "complete" in m2["stages"]
+    for b, ts in committed_ts.items():
+        assert m2["buckets"][b]["ts"] == ts, "committed bucket was rebuilt"
+
+    # identical index content (same block rows) and metrics
+    full = spark.read.parquet(str(full_dir / "postings")).drop("bucket")
+    part = spark.read.parquet(str(part_dir / "postings")).drop("bucket")
+    assert full.count() == part.count()
+    assert full.exceptAll(part).count() == 0
+    fm = IndexCatalog(full_dir).manifest()
+    assert sum(b["postings"] for b in fm["buckets"].values()) == sum(
+        b["postings"] for b in m2["buckets"].values()
+    )
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("engine_idx")
+    return TaxonomyEngine.build(spark, corpus, str(out), CFG)
+
+
+def test_categorise_all_includes_empty(spark, engine):
+    per_doc = engine.categorise_all().collect()
+    assert len(per_doc) == N  # every doc emitted, empty arrays included
+    empties = [r for r in per_doc if not r["category_ids"]]
+    nonempty = [r for r in per_doc if r["category_ids"]]
+    assert nonempty, "fixture corpus must match some categories"
+    assert empties, "synthetic corpus should also have unmatched docs"
+    for r in nonempty:
+        assert r["category_ids"] == sorted(r["category_ids"])
+
+
+def test_single_doc_matches_batch_path(spark, engine, corpus):
+    """Daily-update single-doc scores == batch index scores (global stats)."""
+    rows = [r.asDict() for r in corpus.limit(25).collect()]
+    cats = load_categories()
+    subset = [c["category_id"] for c in cats[:30]]
+    batch = engine.run_queries(subset=subset, scored=True).collect()
+    batch_map = {}
+    for r in batch:
+        batch_map.setdefault(r["doc_id"], {})[r["category_id"]] = r["score"]
+    single = engine.categorise_docs(rows, scored=True, subset=subset)
+    for row, res in zip(rows, single):
+        expected = batch_map.get(row["doc_id"], {})
+        got = {c["category_id"]: c["score"] for c in res["categories"]}
+        assert set(got) == set(expected), f"doc {row['doc_id']}"
+        for cid, s in expected.items():
+            assert abs(got[cid] - s) < 1e-9
+
+
+def test_search_pagination_and_count(spark, engine):
+    q = '"ration" OR "rations" OR "rationing"'
+    total = engine.count(q)
+    assert total > 0
+    page1 = engine.search_page(q, limit=3, offset=0)
+    page2 = engine.search_page(q, limit=3, offset=3)
+    ids1 = [r["doc_id"] for r in page1]
+    ids2 = [r["doc_id"] for r in page2]
+    assert len(ids1) == min(3, total)
+    assert not set(ids1) & set(ids2)
+    scores = [r["score"] for r in page1 + page2]
+    assert scores == sorted(scores, reverse=True)
+    # min_score filter
+    hi = engine.search_page(q, min_score=scores[0], limit=10)
+    assert all(r["score"] >= scores[0] for r in hi)
+
+
+def test_facets(spark, engine):
+    rows = engine.facets("lang").collect()
+    assert sum(r["count"] for r in rows) == N
+    counts = [r["count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_save_results_merge(spark, engine):
+    per_doc = engine.categorise_all()
+    engine.save_results(per_doc)
+    n1 = engine.results().count()
+    assert n1 == N
+    # idempotent re-merge + targeted update
+    sample = engine.results().limit(1).collect()[0]
+    updated = spark.createDataFrame(
+        [(sample["doc_id"], ["CXXXXX"])], "doc_id long, category_ids array<string>"
+    )
+    engine.save_results(updated)
+    assert engine.results().count() == N
+    got = engine.results().where(f"doc_id = {sample['doc_id']}").collect()[0]
+    assert got["category_ids"] == ["CXXXXX"]
+
+
+def test_incremental_stream(spark, engine, corpus, tmp_path):
+    """files-source streaming -> foreachBatch categorise -> merged results."""
+    from ds_discovery_opensearch_taxonomy_spark.streaming.incremental import (
+        start_incremental,
+    )
+
+    inbox = tmp_path / "inbox"
+    corpus.drop("doc_id", "content_sha").limit(10).write.mode("overwrite").parquet(str(inbox))
+    schema = spark.read.parquet(str(inbox)).schema
+    stream = spark.readStream.schema(schema).parquet(str(inbox))
+    q = start_incremental(engine, stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    res = engine.results()
+    assert res.count() >= 10
+    # streamed docs agree with the batch path (boolean sets)
+    batch = {r["doc_id"]: r["category_ids"] for r in engine.categorise_all().collect()}
+    streamed_ids = [
+        r["doc_id"] for r in with_doc_ids(spark.read.parquet(str(inbox))).collect()
+    ]
+    for r in res.where(res.doc_id.isin(streamed_ids[:5])).collect():
+        assert sorted(r["category_ids"]) == sorted(batch[r["doc_id"]])

@@ -1,38 +1,464 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: build the inverted index over the sf0.001
+                     documents table, answer a multi-clause taxonomy query
+                     (phrases, boolean, wildcard, NOT) as scored BM25 top-k.
+``queries()``      — one entry per implemented operator (SURVEY.md §2 +
+                     training-data ops); each runs the REAL engine/operator.
+``oracle_sql()``   — DuckDB twins.  The documents testdata is plain
+                     space-separated lowercase words, for which the full
+                     analyzer chain degenerates to whitespace splitting, so
+                     the engine's match sets/scores are SQL-reproducible.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ds_discovery_opensearch_taxonomy_spark.config import EngineConfig, FieldSpec
+from ds_discovery_opensearch_taxonomy_spark.engine import TaxonomyEngine
+from ds_discovery_opensearch_taxonomy_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+from ds_discovery_opensearch_taxonomy_spark.operators.index_build import build_index
+from ds_discovery_opensearch_taxonomy_spark.operators.search import run_categories
+
+#: engine config for the driver `documents` table (single analyzed field over
+#: `text`; n_chars queryable as a numeric range field)
+DOCS_CONFIG = EngineConfig(
+    fields=(FieldSpec("textnocasnopunc", "textnocasnopunc", ("text",)),),
+    int_fields=("n_chars",),
+    n_term_buckets=2,
+    salt_target_postings=100_000,
+    n_eval_bands=1,
+)
+
+_ENGINES: dict[str, TaxonomyEngine] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> TaxonomyEngine:
+    if sf_dir not in _ENGINES:
+        key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        idx = Path("/root/repo/.scratch") / f"entry_index_{key}"
+        corpus = _docs(spark, sf_dir)
+        build_index(spark, corpus, str(idx), DOCS_CONFIG, resume=True)
+        _ENGINES[sf_dir] = TaxonomyEngine(spark, str(idx), DOCS_CONFIG)
+    return _ENGINES[sf_dir]
+
+
+def _run(spark, sf_dir, query, scored=False, top_k=None) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return run_categories(spark, eng.reader, [("q", query)], scored=scored, top_k=top_k)
+
+
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: boolean+phrase+wildcard+NOT scored retrieval."""
+    q = '("table window" OR "sort table" OR quer*) AND (key OR value) NOT "vector table"'
+    return (
+        _run(spark, "/root/testdata/sf0.001", q, scored=True, top_k=25)
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# queries / oracles
+# --------------------------------------------------------------------------
+
+_TRIGRAM_SQL = (
+    "list_transform(generate_series(1, greatest(len(t) - 2, 1)), "
+    "i -> array_to_string(t[i:i+2], ' '))"
+)
+
+_BM25_PRELUDE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def q_match_bool(spark, sf):  # R1/R3/Q1/Q3: boolean term algebra
+        return _run(spark, sf, '"table" AND "window" NOT "vector"').select("doc_id")
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_match_or(spark, sf):  # Q3 OR semantics
+        return _run(spark, sf, '"vector" OR "stream"').select("doc_id")
+
+    def q_match_phrase(spark, sf):  # Q2 positional phrase
+        return _run(spark, sf, '"table window"').select("doc_id")
+
+    def q_match_phrase_slop(spark, sf):  # Q2 slop (window<=2, transpositions)
+        return _run(spark, sf, '"window table"~2').select("doc_id")
+
+    def q_wildcard(spark, sf):  # Q4 dictionary expansion
+        return _run(spark, sf, "quer* OR *ndow").select("doc_id")
+
+    def q_numeric_range(spark, sf):  # Q6/I4 int-range over doc metadata
+        return _run(spark, sf, '"table" AND n_chars:[200 TO 400]').select("doc_id")
+
+    def q_bm25_topk(spark, sf):  # R4/R5 scored top-k, rank-identical BM25
+        return (
+            _run(spark, sf, '"table" OR "window"', scored=True, top_k=20)
+            .select("doc_id", F.round("score", 4).alias("score"))
+        )
+
+    def q_bm25_scores_all(spark, sf):  # R5 full scored match set
+        return (
+            _run(spark, sf, '"group" AND "batch"', scored=True)
+            .select("doc_id", F.round("score", 4).alias("score"))
+        )
+
+    def q_min_score_pagination(spark, sf):  # R8
+        res = _run(spark, sf, '"spark"', scored=True)
+        return (
+            res.where(F.col("score") >= 0.3)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(15)
+            .select("doc_id", F.round("score", 4).alias("score"))
+        )
+
+    def q_count(spark, sf):  # R9
+        eng = _engine(spark, sf)
+        n = run_categories(spark, eng.reader, [("q", '"merge" OR "join"')], scored=False).count()
+        return spark.createDataFrame([(n,)], "match_count long")
+
+    def q_facets(spark, sf):  # R10 terms aggregation
+        return (
+            _docs(spark, sf)
+            .groupBy("lang")
+            .agg(F.count("*").alias("count"))
+            .orderBy(F.desc("count"), F.asc("lang"))
+            .limit(100)
+        )
+
+    def q_dictionary_stats(spark, sf):  # I3/I6: df/cf of the built index
+        eng = _engine(spark, sf)
+        words = ["table", "window", "vector", "spark", "query", "the"]
+        return (
+            eng.reader.dictionary()
+            .where(F.col("term").isin(words))
+            .select("term", "df", "cf")
+        )
+
+    def q_doc_stats(spark, sf):  # index corpus stats
+        eng = _engine(spark, sf)
+        return spark.createDataFrame(
+            [(int(eng.reader.n_docs), round(float(eng.reader.avgdl["textnocasnopunc"]), 6))],
+            "n_docs long, avgdl double",
+        )
+
+    def q_dedup_exact(spark, sf):  # exact dedup on clones
+        d = _docs(spark, sf)
+        d2 = d.unionByName(d.limit(5).withColumn("doc_id", F.col("doc_id") + 1000000))
+        return dedup.exact_duplicates(d2).select("doc_id", "grp", "group_size")
+
+    def q_ngram_jaccard(spark, sf):  # exact n-gram Jaccard near-dups
+        d = _docs(spark, sf)
+        d2 = d.unionByName(d.limit(5).withColumn("doc_id", F.col("doc_id") + 1000000))
+        return dedup.ngram_jaccard_pairs(d2, min_jaccard=0.999).select(
+            "a", "b", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    def q_minhash_lsh(spark, sf):  # MinHash LSH (engine-only check: Spark
+        d = _docs(spark, sf)  # xxhash64 isn't reproducible in DuckDB)
+        d2 = d.unionByName(d.limit(5).withColumn("doc_id", F.col("doc_id") + 1000000))
+        return dedup.minhash_lsh_pairs(d2, min_est_jaccard=0.95).select("a", "b")
+
+    def q_simhash(spark, sf):  # SimHash near-dup pairs (engine-only)
+        d = _docs(spark, sf)
+        d2 = d.unionByName(d.limit(5).withColumn("doc_id", F.col("doc_id") + 1000000))
+        return dedup.simhash_near_pairs(d2, max_hamming=0).select("a", "b")
+
+    def q_similarity_bruteforce(spark, sf):  # exact cosine top-k ANN baseline
+        e = _emb(spark, sf)
+        qs = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.brute_force_topk(e, qs, k=5).select(
+            "query_id", "vec_id", "cosine"
+        )
+
+    def q_similarity_lsh(spark, sf):  # LSH-bucketed ANN (engine-only)
+        e = _emb(spark, sf)
+        qs = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.lsh_topk(e, qs, k=5, n_planes=16, bands=8).select(
+            "query_id", "vec_id"
+        )
+
+    def q_token_counts(spark, sf):
+        return textstats.token_counts(_docs(spark, sf))
+
+    def q_quality(spark, sf):
+        return textstats.quality_scores(_docs(spark, sf))
+
+    def q_langid(spark, sf):
+        return textstats.language_id(_docs(spark, sf)).select("doc_id", "pred_lang")
+
+    def q_fingerprint(spark, sf):
+        return textstats.fingerprints(_docs(spark, sf))
+
+    def q_multimodal(spark, sf):  # binary-column plumbing: sizes per kind
+        feats = multimodal.extract_features(
+            multimodal.assets_from_documents(_docs(spark, sf))
+        )
+        return feats.select("asset_id", "kind", "n_bytes")
+
+    def q_multimodal_features(spark, sf):  # byte histograms (engine-only)
+        feats = multimodal.extract_features(
+            multimodal.assets_from_documents(_docs(spark, sf))
+        )
+        return feats.select("asset_id", F.round("byte_entropy", 4).alias("byte_entropy"))
+
+    return {
+        "q_match_bool": q_match_bool,
+        "q_match_or": q_match_or,
+        "q_match_phrase": q_match_phrase,
+        "q_match_phrase_slop": q_match_phrase_slop,
+        "q_wildcard": q_wildcard,
+        "q_numeric_range": q_numeric_range,
+        "q_bm25_topk": q_bm25_topk,
+        "q_bm25_scores_all": q_bm25_scores_all,
+        "q_min_score_pagination": q_min_score_pagination,
+        "q_count": q_count,
+        "q_facets": q_facets,
+        "q_dictionary_stats": q_dictionary_stats,
+        "q_doc_stats": q_doc_stats,
+        "q_dedup_exact": q_dedup_exact,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash": q_simhash,
+        "q_similarity_bruteforce": q_similarity_bruteforce,
+        "q_similarity_lsh": q_similarity_lsh,
+        "q_token_counts": q_token_counts,
+        "q_quality": q_quality,
+        "q_langid": q_langid,
+        "q_fingerprint": q_fingerprint,
+        "q_multimodal": q_multimodal,
+        "q_multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = "string_split(text, ' ')"
+    bm25_term = (
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+        "tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))"
+    )
+    bm25_body = f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ({{terms}})
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term IN ({{terms}}) GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id, sum({bm25_term}) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1
+)
+"""
+
+    def bm25(terms: list[str], tail: str) -> str:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        return _BM25_PRELUDE + bm25_body.format(terms=tl) + tail
+
+    dup_base = """
+WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 5)
+)
+"""
+
+    return {
+        "q_match_bool": f"""
+            SELECT doc_id FROM documents
+            WHERE list_contains({tok}, 'table')
+              AND list_contains({tok}, 'window')
+              AND NOT list_contains({tok}, 'vector')
+        """,
+        "q_match_or": f"""
+            SELECT doc_id FROM documents
+            WHERE list_contains({tok}, 'vector') OR list_contains({tok}, 'stream')
+        """,
+        "q_match_phrase": """
+            SELECT doc_id FROM documents
+            WHERE ' ' || text || ' ' LIKE '% table window %'
+        """,
+        "q_match_phrase_slop": """
+            -- slop 2 over ["window","table"]: pick one position per slot,
+            -- window = max(pos_w, pos_t - 1) - min(pos_w, pos_t - 1) <= 2
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS term,
+                     generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+              FROM documents
+            )
+            SELECT DISTINCT w.doc_id
+            FROM toks w JOIN toks t USING (doc_id)
+            WHERE w.term = 'window' AND t.term = 'table'
+              AND greatest(w.pos, t.pos - 1) - least(w.pos, t.pos - 1) <= 2
+        """,
+        "q_wildcard": f"""
+            SELECT doc_id FROM documents
+            WHERE len(list_filter({tok}, x -> x LIKE 'quer%')) > 0
+               OR len(list_filter({tok}, x -> x LIKE '%ndow')) > 0
+        """,
+        "q_numeric_range": f"""
+            SELECT doc_id FROM documents
+            WHERE list_contains({tok}, 'table') AND n_chars BETWEEN 200 AND 400
+        """,
+        "q_bm25_topk": bm25(
+            ["table", "window"],
+            "SELECT doc_id, round(score, 4) AS score FROM scores "
+            "ORDER BY score DESC, doc_id LIMIT 20",
+        ),
+        "q_bm25_scores_all": bm25(
+            ["group", "batch"],
+            "SELECT doc_id, round(score, 4) AS score FROM scores "
+            "WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'group') "
+            "  AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'batch')",
+        ),
+        "q_min_score_pagination": bm25(
+            ["spark"],
+            "SELECT doc_id, round(score, 4) AS score FROM scores "
+            "WHERE score >= 0.3 ORDER BY score DESC, doc_id LIMIT 15",
+        ),
+        "q_count": f"""
+            SELECT count(*) AS match_count FROM documents
+            WHERE list_contains({tok}, 'merge') OR list_contains({tok}, 'join')
+        """,
+        "q_facets": """
+            SELECT lang, count(*) AS count FROM documents
+            GROUP BY lang ORDER BY count DESC, lang LIMIT 100
+        """,
+        "q_dictionary_stats": """
+            SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+            WHERE term IN ('table','window','vector','spark','query','the')
+            GROUP BY term
+        """,
+        "q_doc_stats": """
+            SELECT count(*) AS n_docs,
+                   round(avg(len(string_split(text, ' '))), 6) AS avgdl
+            FROM documents
+        """,
+        "q_dedup_exact": dup_base + """
+            , h AS (SELECT doc_id, sha256(text) AS grp FROM d2),
+            sizes AS (SELECT grp, count(*) AS group_size FROM h GROUP BY 1 HAVING count(*) > 1)
+            SELECT doc_id, h.grp, group_size FROM h JOIN sizes USING (grp)
+        """,
+        "q_ngram_jaccard": dup_base + f"""
+            , toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d2),
+            grams AS (
+              SELECT DISTINCT doc_id, unnest({_TRIGRAM_SQL}) AS shingle FROM toks
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+              FROM grams x JOIN grams y
+                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(shared / (na.n + nb.n - shared), 6) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.doc_id = a
+            JOIN sizes nb ON nb.doc_id = b
+            WHERE shared / (na.n + nb.n - shared) >= 0.999
+        """,
+        "q_similarity_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS c
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, c,
+                     row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS r
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(c, 6) AS cosine FROM ranked WHERE r <= 5
+        """,
+        "q_token_counts": """
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS ws_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS subword_tokens
+            FROM documents
+        """,
+        "q_quality": r"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) /
+                         greatest(length(text), 1), 6) AS alpha_ratio,
+                   round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) /
+                         greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                         ['the','of','and','to','in','a','is','for','on','with'])) * 1.0 /
+                         greatest(len(string_split(text, ' ')), 1), 6) AS stopword_hit_ratio,
+                   round((length(text) - len(string_split(text, ' ')) + 1) * 1.0 /
+                         greatest(len(string_split(text, ' ')), 1), 6) AS mean_token_len
+            FROM documents
+        """,
+        "q_langid": """
+            WITH hits AS (
+              SELECT doc_id,
+                len(list_intersect(string_split(lower(text), ' '),
+                    ['der','die','das','und','nicht','ist','ein','mit','für','von'])) AS de,
+                len(list_intersect(string_split(lower(text), ' '),
+                    ['the','of','and','to','in','a','is','for','on','with'])) AS en,
+                len(list_intersect(string_split(lower(text), ' '),
+                    ['el','la','los','y','es','un','una','para','en','que'])) AS es,
+                len(list_intersect(string_split(lower(text), ' '),
+                    ['le','la','les','et','est','un','une','pour','dans','que'])) AS fr
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                        WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                        WHEN en >= es AND en >= fr THEN 'en'
+                        WHEN es >= fr THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM hits
+        """,
+        "q_fingerprint": f"""
+            WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+            SELECT doc_id,
+                   list_min(list_transform({_TRIGRAM_SQL},
+                            g -> md5(g))) AS fingerprint
+            FROM toks
+        """,
+        "q_multimodal": """
+            SELECT doc_id AS asset_id,
+                   ['text','image','audio','video'][(doc_id % 4) + 1] AS kind,
+                   octet_length(encode(text))::BIGINT AS n_bytes
+            FROM documents
+        """,
+    }

@@ -1,0 +1,129 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Measures the two authoritative metrics from BASELINE.json on a deterministic
+synthesized corpus sized by the scale factor:
+
+* index-build throughput (docs/sec) — full build, fresh (no resume);
+* taxonomy query latency — all 136 categories in one distributed pass
+  (boolean + scored top-k modes) plus per-query p50/p95 over a
+  representative sample run query-at-a-time.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) — sf parsed from the
+directory name sizes the corpus (sf0.1 -> 500k docs, FIXTURES.md §1);
+SPARK_GRAFT_CPUS (default 32).  Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+os.environ.setdefault("PYTHONPATH", str(Path(__file__).resolve().parent))
+
+REPRESENTATIVE = [
+    "Air Force", "Chartism", "Freemasons", "Rationing", "UFOs",
+    "Votes for women", "Europe", "Medicine and health", "Poverty",
+    "Crime and criminals",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_rows = int(os.environ.get("BENCH_ROWS", int(500_000 * sf / 0.1)))
+
+    from ds_discovery_opensearch_taxonomy_spark.cli import make_spark
+    from ds_discovery_opensearch_taxonomy_spark.config import EngineConfig
+    from ds_discovery_opensearch_taxonomy_spark.engine import TaxonomyEngine
+    from ds_discovery_opensearch_taxonomy_spark.operators.search import run_categories
+    from ds_discovery_opensearch_taxonomy_spark.sources.corpus import (
+        load_categories,
+        synthesize_corpus,
+        with_doc_ids,
+    )
+
+    n_cpus = int(cpus) if cpus != "*" else (os.cpu_count() or 8)
+    spark = make_spark(cpus, shuffle_partitions=2 * n_cpus)
+    config = EngineConfig(
+        n_term_buckets=8,
+        n_eval_bands=max(2, n_cpus // 8),
+        salt_target_postings=250_000,
+    )
+    idx_dir = Path(".scratch") / f"bench_index_{n_cpus}_{n_rows}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    corpus = with_doc_ids(synthesize_corpus(spark, n_rows))
+    corpus.write.mode("overwrite").parquet(str(idx_dir) + "_corpus")
+    corpus = spark.read.parquet(str(idx_dir) + "_corpus")
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    engine = TaxonomyEngine.build(spark, corpus, str(idx_dir), config, resume=False)
+    timings["index_build"] = round(time.time() - t0, 3)
+
+    cats = load_categories()
+    pairs = [(c["category_id"], c["query_text"]) for c in cats]
+
+    t0 = time.time()
+    n_bool = run_categories(spark, engine.reader, pairs, scored=False).count()
+    timings["categorise_136_bool"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    n_scored = run_categories(
+        spark, engine.reader, pairs, scored=True, top_k=100
+    ).count()
+    timings["categorise_136_scored_top100"] = round(time.time() - t0, 3)
+
+    # per-query latency sample (query-at-a-time, includes Spark job overhead)
+    by_title = {c["title"]: c for c in cats}
+    lat = []
+    for title in REPRESENTATIVE:
+        c = by_title.get(title)
+        if not c:
+            continue
+        t0 = time.time()
+        run_categories(
+            spark, engine.reader, [(c["category_id"], c["query_text"])],
+            scored=True, top_k=100,
+        ).collect()
+        dt = time.time() - t0
+        lat.append(dt)
+        timings[f"q_{c['category_id']}"] = round(dt, 3)
+    lat.sort()
+    p50 = lat[len(lat) // 2] if lat else 0.0
+    p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))] if lat else 0.0
+
+    total = sum(v for k, v in timings.items())
+    out = {
+        "metric": "index_build_plus_136_query_wall_seconds",
+        "value": round(timings["index_build"] + timings["categorise_136_scored_top100"], 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs": n_rows,
+        "cpus": n_cpus,
+        "index_build_docs_per_sec": round(n_rows / timings["index_build"], 1),
+        "categorise_docs_per_sec_bool": round(
+            n_rows / timings["categorise_136_bool"], 1
+        ),
+        "query_p50_sec": round(p50, 3),
+        "query_p95_sec": round(p95, 3),
+        "bool_matches": n_bool,
+        "scored_rows": n_scored,
+        "total_sec": round(total, 3),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -331,12 +331,31 @@ def _andnot(ids_a, sc_a, ids_not):
     return ids_a[mask], sc_a[mask]
 
 
-class _Evaluator:
-    """Evaluates one compiled query against one (category, band) block group."""
+def _kth_score(scores: np.ndarray, k: int) -> float:
+    """Current k-th best score; -inf while fewer than k candidates."""
+    if len(scores) < k:
+        return float("-inf")
+    return float(np.partition(scores, -k)[-k])
 
-    def __init__(self, terms: dict, virtual: dict, df_map: dict, n_docs: float,
-                 k1: float, b: float, avgdl: dict, scored: bool):
-        self.terms = terms  # (field, term) -> _TermData
+
+def _partial_topk(ids: np.ndarray, sc: np.ndarray, k: int):
+    if len(ids) <= k:
+        return ids, sc
+    order = np.lexsort((ids, -sc))[:k]
+    return ids[order], sc[order]
+
+
+class _Evaluator:
+    """Evaluates one compiled query against one (category, band) block group.
+
+    Posting blocks are decoded LAZILY per term — the block-max top-k path
+    (``eval_topk``) can skip whole terms and whole blocks without paying
+    their decode cost."""
+
+    def __init__(self, rows_by_term: dict, virtual: dict, df_map: dict, n_docs: float,
+                 k1: float, b: float, avgdl: dict, scored: bool, needs_pos: bool):
+        self.rows_by_term = rows_by_term  # (field, term) -> sorted block rows pdf
+        self.terms: dict = {}  # decode cache: (field, term) -> _TermData
         self.virtual = virtual
         self.df_map = df_map  # (field, term) -> GLOBAL df
         self.n_docs = n_docs
@@ -344,9 +363,33 @@ class _Evaluator:
         self.b = b
         self.avgdl = avgdl
         self.scored = scored
+        self.needs_pos = needs_pos
 
     def _term(self, field: str, term: str) -> _TermData | None:
-        return self.terms.get((field, term))
+        key = (field, term)
+        td = self.terms.get(key)
+        if td is None and key in self.rows_by_term:
+            td = _decode_rows(self.rows_by_term[key], self.needs_pos)
+            self.terms[key] = td
+        return td
+
+    def _term_ub(self, field: str, term: str) -> float:
+        """Block-max upper bound for one term — from metadata, no decode."""
+        rows = self.rows_by_term.get((field, term))
+        return float(rows["max_score_ub"].max()) if rows is not None else 0.0
+
+    def _clause_ub(self, node: qp.Node) -> float:
+        """Max possible BM25 contribution of a SHOULD clause."""
+        if isinstance(node, qp.TermNode):
+            return self._term_ub(node.field, node.term)
+        if isinstance(node, qp.OrTermsNode):
+            return sum(self._term_ub(node.field, t) for t in node.terms)
+        if isinstance(node, qp.PhraseNode):
+            idf_sum = sum(self._idf(node.field, t) for s in node.slots for t in s)
+            return idf_sum * (self.k1 + 1.0)  # tf_norm < k1+1 for any tf
+        if isinstance(node, (ExpandedTermsNode, VirtualDocsNode)):
+            return 1.0
+        return float("inf")  # nested bool etc: no bound, never skipped
 
     def _idf(self, field: str, term: str) -> float:
         return float(scoring.idf(float(self.df_map.get((field, term), 0)), self.n_docs))
@@ -358,6 +401,95 @@ class _Evaluator:
             td.tfs.astype(np.float64), td.dls.astype(np.float64),
             self.avgdl[field], self.k1, self.b,
         )
+
+    # -- block-max dynamic pruning (MaxScore/WAND family) --------------------
+
+    def eval_topk(self, node: qp.Node, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Exact top-k with block-max pruning for disjunctive queries.
+
+        Two phases over SHOULD clauses sorted by descending upper bound:
+        while new docs could still enter the top-k (sum of remaining clause
+        upper bounds >= current k-th score), clauses are fully evaluated and
+        union-accumulated; afterwards remaining clauses only UPDATE existing
+        candidates — candidates whose score + remaining bound is strictly
+        below the k-th are dropped, and term blocks outside the candidate
+        id-range or unable to lift any candidate above the threshold are
+        skipped without decoding.  Exactness: a doc first seen in phase 2
+        would score < remaining_ub < theta = k-th score, i.e. strictly below
+        the k-th — it loses even the doc_id tie-break.  Non-disjunctive
+        queries fall back to full evaluation."""
+        clauses = self._flatten_disjunction(node)
+        if clauses is None:
+            ids, sc = self.eval(node)
+            return _partial_topk(ids, sc, k)
+        scorers = sorted(
+            ((self._clause_ub(c), c) for c in clauses), key=lambda x: -x[0]
+        )
+        ubs = [u for u, _ in scorers]
+        suffix = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])
+        acc_ids, acc_sc = _EMPTY, np.empty(0)
+        for i, (ub_c, c) in enumerate(scorers):
+            theta = _kth_score(acc_sc, k)
+            if theta > suffix[i]:  # strict: new docs can no longer enter
+                rest = float(suffix[i])
+                for ub_j, cj in scorers[i:]:
+                    theta = _kth_score(acc_sc, k)
+                    keep = acc_sc + rest >= theta  # strict-drop only
+                    acc_ids, acc_sc = acc_ids[keep], acc_sc[keep]
+                    if len(acc_ids) == 0:
+                        break
+                    cids, csc = self._eval_clause_restricted(
+                        cj, acc_ids, float(acc_sc.max()), rest, theta
+                    )
+                    if len(cids):
+                        common, ia, ib = np.intersect1d(
+                            acc_ids, cids, assume_unique=True, return_indices=True
+                        )
+                        acc_sc = acc_sc.copy()
+                        acc_sc[ia] += csc[ib]
+                    rest -= ub_j
+                break
+            cids, csc = self.eval(c)
+            acc_ids, acc_sc = _union_add(acc_ids, acc_sc, cids, csc)
+        return _partial_topk(acc_ids, acc_sc, k)
+
+    def _flatten_disjunction(self, node: qp.Node) -> list[qp.Node] | None:
+        if isinstance(node, (qp.TermNode, qp.OrTermsNode, qp.PhraseNode,
+                             ExpandedTermsNode)):
+            return [node]
+        if isinstance(node, qp.BoolNode) and all(
+            o is qp.Occur.SHOULD for o, _ in node.clauses
+        ):
+            return [c for _, c in node.clauses]
+        return None
+
+    def _eval_clause_restricted(
+        self, node: qp.Node, acc_ids: np.ndarray, max_acc: float,
+        rest: float, theta: float
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Evaluate a clause only for docs already in the accumulator; for
+        plain terms, blocks outside [min,max] of the accumulator or whose
+        max contribution cannot lift even the best candidate are skipped
+        UNDECODED."""
+        if isinstance(node, qp.TermNode):
+            rows = self.rows_by_term.get((node.field, node.term))
+            if rows is None:
+                return _EMPTY, _EMPTY
+            lo, hi = int(acc_ids[0]), int(acc_ids[-1])
+            keep = (rows["max_docid"].to_numpy() >= lo) & (
+                rows["min_docid"].to_numpy() <= hi
+            )
+            # block-max test: can this block lift ANY candidate over theta?
+            keep &= (max_acc + rows["max_score_ub"].to_numpy() + (rest - self._term_ub(node.field, node.term))) >= theta
+            if not keep.any():
+                return _EMPTY, _EMPTY
+            td = _decode_rows(rows[keep], self.needs_pos)
+            sc = self._idf(node.field, node.term) * scoring.tf_norm(
+                td.tfs.astype(np.float64), td.dls.astype(np.float64),
+                self.avgdl[node.field], self.k1, self.b,
+            )
+            return td.ids, sc
+        return self.eval(node)
 
     def eval(self, node: qp.Node) -> tuple[np.ndarray, np.ndarray]:
         """Returns (sorted doc_ids, scores)."""
@@ -533,9 +665,10 @@ def run_categories(
         cid, band = key[0], int(key[1])
         node = compiled_b.value[cid]
         needs_pos = _node_has_phrase(node)
-        terms: dict[tuple[str, str], _TermData] = {}
-        for (fld, trm), rows in pdf.groupby(["field", "term"], sort=False):
-            terms[(fld, trm)] = _decode_rows(rows, needs_pos)
+        rows_by_term: dict[tuple[str, str], pd.DataFrame] = {
+            (fld, trm): rows.sort_values(["salt", "blk_seq"])
+            for (fld, trm), rows in pdf.groupby(["field", "term"], sort=False)
+        }
         virt = {}
         for kkey, arr in virtual_b.value.items():
             if band_bits > 0:
@@ -545,12 +678,16 @@ def run_categories(
                 virt[kkey] = arr[u.astype(np.int64) == band]
             else:
                 virt[kkey] = arr
-        ev = _Evaluator(terms, virt, df_map_b.value, n_docs, k1, b, avgdl, scored)
-        ids, sc = ev.eval(node)
-        if top_k is not None and len(ids) > top_k:
-            # per-band partial top-k (global top-k reduced afterwards)
-            order = np.lexsort((ids, -sc))[:top_k]
-            ids, sc = ids[order], sc[order]
+        ev = _Evaluator(
+            rows_by_term, virt, df_map_b.value, n_docs, k1, b, avgdl, scored, needs_pos
+        )
+        if top_k is not None and scored:
+            # per-band block-max top-k (global top-k reduced afterwards)
+            ids, sc = ev.eval_topk(node, top_k)
+        else:
+            ids, sc = ev.eval(node)
+            if top_k is not None:
+                ids, sc = _partial_topk(ids, sc, top_k)
         return pd.DataFrame({"category_id": cid, "doc_id": ids, "score": sc})
 
     results = tagged.groupBy("category_id", "band").applyInPandas(eval_group, RESULT_SCHEMA)

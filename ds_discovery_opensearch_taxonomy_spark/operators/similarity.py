@@ -1,0 +1,154 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* ``brute_force_topk`` — exact cosine top-k: JVM-side dot product via
+  ``F.zip_with`` + ``F.aggregate`` (no Python in the scan), window top-k.
+  The correctness baseline and the small-query-set path.
+* ``lsh_topk``        — random-hyperplane LSH bucketing: deterministic
+  hyperplanes (seeded, driver-generated), sign-bit signature, candidates
+  share >= 1 band; exact re-rank inside buckets.  The scale path: the scan
+  shuffles by (band, bucket) instead of crossing every (query, doc) pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SEED = 42
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k of every query vector against the corpus:
+    (query_id, vec_id, cosine, rank).  Queries broadcast (small side)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("evec"))
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_col(F.col("qvec"), F.col("evec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = SEED) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: hash-derived gaussians via
+    Box-Muller over a counter keyed by the seed (no RNG state)."""
+    import hashlib
+
+    n = dim * n_planes
+    out = np.empty(n, dtype=np.float64)
+    i = 0
+    ctr = 0
+    while i < n:
+        h = hashlib.blake2b(f"{seed}:{ctr}".encode(), digest_size=16).digest()
+        u1 = (int.from_bytes(h[:8], "big") + 1) / (2**64 + 2)
+        u2 = int.from_bytes(h[8:], "big") / 2**64
+        z0 = np.sqrt(-2 * np.log(u1)) * np.cos(2 * np.pi * u2)
+        z1 = np.sqrt(-2 * np.log(u1)) * np.sin(2 * np.pi * u2)
+        out[i] = z0
+        if i + 1 < n:
+            out[i + 1] = z1
+        i += 2
+        ctr += 1
+    return out.reshape(n_planes, dim)
+
+
+def lsh_signatures(
+    embeddings: DataFrame,
+    planes: np.ndarray,
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, band, bucket): sign-bit signature of each vector against the
+    hyperplanes, chunked into bands — JVM expressions only (the plane dots
+    are unrolled aggregate expressions over array literals)."""
+    n_planes, _dim = planes.shape
+    rows_per_band = n_planes // bands
+    sign_bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        sign_bits.append((_dot(F.col(vec_col), plane) > 0).cast("int"))
+    out = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col), *[
+        b.alias(f"s{p}") for p, b in enumerate(sign_bits)
+    ])
+    band_structs = []
+    for bi in range(bands):
+        bits = [F.col(f"s{bi * rows_per_band + j}") for j in range(rows_per_band)]
+        bucket = bits[0].cast("long")
+        for bcol in bits[1:]:
+            bucket = bucket * 2 + bcol
+        band_structs.append(F.struct(F.lit(bi).alias("band"), bucket.alias("bucket")))
+    return out.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bucket")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates = corpus vectors sharing >= 1
+    LSH band bucket with the query; exact cosine re-rank on candidates.
+    Returns (query_id, vec_id, cosine, rank)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    e_sig = lsh_signatures(embeddings, planes, bands, id_col, vec_col)
+    q_sig = lsh_signatures(queries, planes, bands, query_id_col, vec_col).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cand = (
+        e_sig.join(F.broadcast(q_sig), ["band", "bucket"])
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("evec"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(e, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col(F.col("qvec"), F.col("evec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -1,0 +1,165 @@
+"""Dedup / similarity / textstats / multimodal operator tests over the
+driver-provided testdata (sf0.001)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ds_discovery_opensearch_taxonomy_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+class TestDedup:
+    def test_exact_duplicates_injected(self, spark, docs):
+        # inject clones so groups exist deterministically
+        clones = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+        d2 = docs.unionByName(clones)
+        out = dedup.exact_duplicates(d2).collect()
+        assert len(out) >= 6
+        by_grp = {}
+        for r in out:
+            by_grp.setdefault(r["grp"], []).append(r["doc_id"])
+        for grp, ids in by_grp.items():
+            assert len(ids) >= 2
+
+    def test_minhash_self_similarity(self, spark, docs):
+        base = docs.limit(20)
+        clones = base.withColumn("doc_id", F.col("doc_id") + 100000)
+        pairs = dedup.minhash_lsh_pairs(
+            base.unionByName(clones), min_est_jaccard=0.9
+        ).collect()
+        found = {(r["a"], r["b"]) for r in pairs}
+        for r in base.select("doc_id").collect():
+            assert (r["doc_id"], r["doc_id"] + 100000) in found
+        for r in pairs:
+            if r["b"] == r["a"] + 100000:
+                assert r["est_jaccard"] == 1.0
+
+    def test_ngram_jaccard_exact(self, spark, docs):
+        base = docs.limit(10)
+        clones = base.withColumn("doc_id", F.col("doc_id") + 100000)
+        pairs = dedup.ngram_jaccard_pairs(base.unionByName(clones), min_jaccard=0.999)
+        got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
+        for r in base.select("doc_id").collect():
+            assert got.get((r["doc_id"], r["doc_id"] + 100000)) == pytest.approx(1.0)
+
+    def test_simhash_near_pairs(self, spark, docs):
+        base = docs.limit(15)
+        clones = base.withColumn("doc_id", F.col("doc_id") + 100000)
+        pairs = dedup.simhash_near_pairs(base.unionByName(clones), max_hamming=0)
+        found = {(r["a"], r["b"]) for r in pairs.collect()}
+        for r in base.select("doc_id").collect():
+            assert (r["doc_id"], r["doc_id"] + 100000) in found
+
+
+class TestSimilarity:
+    def test_brute_force_topk_self_nearest(self, spark, emb):
+        queries = emb.limit(5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        out = similarity.brute_force_topk(emb, queries, k=3).collect()
+        by_q = {}
+        for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, rows in by_q.items():
+            assert rows[0]["vec_id"] == qid  # self is nearest
+            assert rows[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
+            assert len(rows) == 3
+
+    def test_lsh_recall_vs_brute_force(self, spark, emb):
+        queries = emb.limit(8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+        approx = similarity.lsh_topk(emb, queries, k=5, n_planes=16, bands=8).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        approx_sets = {}
+        for r in approx:
+            approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls = [
+            len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+            for q in exact_sets
+        ]
+        assert float(np.mean(recalls)) >= 0.5  # 16 planes / 8 bands: high recall
+        for q in approx_sets:
+            assert q in approx_sets[q] or q in exact_sets  # sanity
+
+
+class TestTextStats:
+    def test_token_counts(self, spark, docs):
+        row = textstats.token_counts(docs).join(docs, "doc_id").first()
+        assert row["ws_tokens"] == len(row["text"].split())
+        assert row["subword_tokens"] >= row["ws_tokens"]
+
+    def test_quality_scores_ranges(self, spark, docs):
+        rows = textstats.quality_scores(docs).collect()
+        for r in rows:
+            assert 0 <= r["alpha_ratio"] <= 1
+            assert 0 <= r["punct_ratio"] <= 1
+            assert 0 <= r["stopword_hit_ratio"] <= 1
+            assert r["n_tokens"] > 0
+
+    def test_language_id_mostly_english_testdata(self, spark, docs):
+        out = textstats.language_id(docs)
+        top = out.groupBy("pred_lang").count().orderBy(F.desc("count")).first()
+        assert top["pred_lang"] == "en"  # testdata text is english-ish words
+
+    def test_fingerprint_stability_and_clone_match(self, spark, docs):
+        base = docs.limit(5)
+        clones = base.withColumn("doc_id", F.col("doc_id") + 100000)
+        fp = textstats.fingerprints(base.unionByName(clones)).collect()
+        by_id = {r["doc_id"]: r["fingerprint"] for r in fp}
+        for r in base.collect():
+            assert by_id[r["doc_id"]] == by_id[r["doc_id"] + 100000]
+
+
+class TestMultimodal:
+    def test_assets_schema_and_features(self, spark, docs):
+        assets = multimodal.assets_from_documents(docs.limit(40))
+        # same names + types (nullability flags differ on computed columns)
+        assert [(f.name, f.dataType.simpleString()) for f in assets.schema.fields] == [
+            (f.name, f.dataType.simpleString()) for f in multimodal.ASSET_SCHEMA.fields
+        ]
+        feats = multimodal.extract_features(assets).collect()
+        assert len(feats) == 40
+        for r in feats:
+            assert r["n_bytes"] > 0
+            assert abs(sum(r["histogram16"]) - 1.0) < 1e-3
+            assert 0 <= r["byte_entropy"] <= 4.0  # 16 bins -> max 4 bits
+
+    def test_text_decode_real_media_stubbed(self, spark, docs):
+        assets = multimodal.assets_from_documents(docs.limit(8)).collect()
+        for r in assets:
+            if r["kind"] == "text":
+                assert isinstance(
+                    multimodal.decode_payload(r["kind"], bytes(r["payload"])), str
+                )
+            else:
+                with pytest.raises(NotImplementedError, match="STUB"):
+                    multimodal.decode_payload(r["kind"], bytes(r["payload"]))
+
+    def test_resize_stub_raises_through_spark(self, spark, docs):
+        from py4j.protocol import Py4JJavaError
+
+        assets = multimodal.assets_from_documents(docs.limit(8))
+        with pytest.raises(Exception) as ei:
+            multimodal.resize_images(assets, 64, 64).collect()
+        assert "STUB" in str(ei.value)

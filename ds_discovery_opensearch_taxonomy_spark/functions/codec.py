@@ -25,21 +25,20 @@ _MASK7 = _U64(0x7F)
 _CONT = np.uint8(0x80)
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized LEB128-style varbyte: 7 bits per byte, MSB set on all but
-    the final byte of each value."""
+def varbyte_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Like :func:`varbyte_encode` but also returns the per-value END byte
+    offsets, so callers can slice the encoded stream at value boundaries
+    (block cutting without re-encoding)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # bytes needed per value: ceil(bitlen/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
+        return b"", np.empty(0, dtype=np.int64)
+    widths = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> _U64(7)
     nz = tmp > 0
     while nz.any():
-        nbits[nz] += 1
-        tmp >>= _U64(1)
+        widths[nz] += 1
+        tmp = tmp >> _U64(7)
         nz = tmp > 0
-    widths = np.maximum((nbits + 6) // 7, 1)
     total = int(widths.sum())
     out = np.empty(total, dtype=np.uint8)
     ends = np.cumsum(widths)
@@ -53,7 +52,13 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     # continuation bit on all but last byte of each value
     is_last = idx == (ends[value_id] - 1)
     out[~is_last] |= _CONT
-    return out.tobytes()
+    return out.tobytes(), ends
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128-style varbyte: 7 bits per byte, MSB set on all but
+    the final byte of each value."""
+    return varbyte_encode_offsets(values)[0]
 
 
 def varbyte_decode(data: bytes, count: int | None = None) -> np.ndarray:

@@ -140,6 +140,10 @@ def make_block_builder(
     one (field, term, salt) group."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Fully vectorized: every codec pass runs ONCE over the whole
+        (field, term, salt) group; per-block blobs are byte-slices of the
+        group-level varbyte streams (boundaries from the per-value end
+        offsets), so cost is O(postings) numpy work + O(blocks) python."""
         fname = pdf["field"].iloc[0]
         term = pdf["term"].iloc[0]
         salt = int(pdf["salt"].iloc[0])
@@ -151,48 +155,78 @@ def make_block_builder(
         positions = pdf["positions"].to_numpy(dtype=object)[order]
         idf_val = float(scoring.idf(float(df_val), n_docs))
         av = avgdl[fname]
+        n = len(doc_ids)
         bands = _band_of(doc_ids, band_bits)
 
+        # block boundaries: every block_size postings, resetting at band edges
+        idx = np.arange(n, dtype=np.int64)
+        band_change = np.empty(n, dtype=bool)
+        band_change[0] = True
+        band_change[1:] = bands[1:] != bands[:-1]
+        band_start = np.maximum.accumulate(np.where(band_change, idx, 0))
+        is_start = band_change | ((idx - band_start) % block_size == 0)
+        starts = np.flatnonzero(is_start)
+        ends = np.empty_like(starts)
+        ends[:-1] = starts[1:]
+        ends[-1] = n
+
+        # docids: gaps within a block, absolute (shifted) value at block start
+        u = doc_ids.astype(np.uint64) + np.uint64(1 << 63)
+        gaps = np.empty_like(u)
+        gaps[0] = u[0]
+        gaps[1:] = u[1:] - u[:-1]
+        gaps[starts] = u[starts]
+        doc_bytes, doc_ends = codec.varbyte_encode_offsets(gaps)
+        tf_bytes, tf_ends = codec.varbyte_encode_offsets(tfs.astype(np.uint64))
+        dl_bytes, dl_ends = codec.varbyte_encode_offsets(dls.astype(np.uint64))
+
+        # positions: per-posting lens + segmented deltas, encoded once
+        lens = np.fromiter((len(p) for p in positions), dtype=np.int64, count=n)
+        total_pos = int(lens.sum())
+        if total_pos:
+            flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in positions])
+        else:
+            flat = np.empty(0, dtype=np.int64)
+        pos_starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=pos_starts[1:])
+        deltas = np.empty_like(flat)
+        if total_pos:
+            deltas[0] = flat[0]
+            deltas[1:] = flat[1:] - flat[:-1]
+            seg = pos_starts[:-1][lens > 0]
+            deltas[seg] = flat[seg]
+        len_bytes, len_ends = codec.varbyte_encode_offsets(lens.astype(np.uint64))
+        pos_bytes, pos_ends = codec.varbyte_encode_offsets(deltas.astype(np.uint64))
+
+        scores = idf_val * scoring.tf_norm(tfs.astype(float), dls.astype(float), av, k1, b)
+        ubs = np.maximum.reduceat(scores, starts)
+
+        def bstart(end_offsets: np.ndarray, value_idx: int) -> int:
+            return 0 if value_idx == 0 else int(end_offsets[value_idx - 1])
+
         rows = []
-        start = 0
-        blk_seq = 0
-        n = len(doc_ids)
-        while start < n:
-            end = min(start + block_size, n)
-            # never cross an eval-band boundary
-            first_band = bands[start]
-            cut = np.searchsorted(bands[start:end], first_band, side="right")
-            end = start + int(cut)
-            ids = doc_ids[start:end]
-            btf = tfs[start:end]
-            bdl = dls[start:end]
-            bpos = [np.asarray(p, dtype=np.int64) for p in positions[start:end]]
-            poslens, posdata = codec.encode_positions(bpos)
-            ub = float(
-                np.max(idf_val * scoring.tf_norm(btf.astype(float), bdl.astype(float), av, k1, b))
-            )
+        for blk_seq, (s, e) in enumerate(zip(starts, ends)):
+            ps, pe = int(pos_starts[s]), int(pos_starts[e])
             rows.append(
                 (
                     fname,
                     term,
                     salt,
-                    int(first_band),
+                    int(bands[s]),
                     blk_seq,
-                    int(end - start),
-                    int(ids[0]),
-                    int(ids[-1]),
+                    int(e - s),
+                    int(doc_ids[s]),
+                    int(doc_ids[e - 1]),
                     df_val,
                     idf_val,
-                    ub,
-                    codec.encode_docids(ids, base=None),
-                    codec.varbyte_encode(btf.astype(np.uint64)),
-                    codec.varbyte_encode(bdl.astype(np.uint64)),
-                    poslens,
-                    posdata,
+                    float(ubs[blk_seq]),
+                    doc_bytes[bstart(doc_ends, s):int(doc_ends[e - 1])],
+                    tf_bytes[bstart(tf_ends, s):int(tf_ends[e - 1])],
+                    dl_bytes[bstart(dl_ends, s):int(dl_ends[e - 1])],
+                    len_bytes[bstart(len_ends, s):int(len_ends[e - 1])],
+                    pos_bytes[bstart(pos_ends, ps):int(pos_ends[pe - 1])] if pe > ps else b"",
                 )
             )
-            blk_seq += 1
-            start = end
         return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
 
     return build
@@ -258,62 +292,85 @@ def build_index(
     avgdl = {r["field"]: float(r["avgdl"]) for r in stats_rows}
     band_bits = max(config.n_eval_bands - 1, 0).bit_length()
 
-    # -- stage 4: per-bucket postings build (resumable loop) ----------------
+    # -- stage 4: dictionary (df/cf) — ONE job for every bucket --------------
+    if not cat.stage_done("dictionary"):
+        staged = spark.read.parquet(cat.path(IndexCatalog.STAGING))
+        dictionary = staged.groupBy("bucket", "field", "term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        cat.write(dictionary, IndexCatalog.DICTIONARY, partition_by=["bucket"])
+        cat.commit_stage("dictionary")
+
+    # -- stage 5: per-bucket postings build (resumable loop) ----------------
+    # one Spark job per bucket: staging + dictionary stay persisted across
+    # iterations; metrics come from Observation (no read-back pass)
     builder = make_block_builder(
         float(n_docs), avgdl, config.k1, config.b, config.block_size, band_bits
     )
     done = cat.committed_buckets()
-    for bucket in range(config.n_term_buckets):
-        if bucket in done:
-            continue
-        staged_b = spark.read.parquet(cat.path(IndexCatalog.STAGING)).where(
-            F.col("bucket") == bucket
+    todo = [b for b in range(config.n_term_buckets) if b not in done]
+    if todo:
+        from pyspark import StorageLevel
+        from pyspark.sql import Observation
+
+        staged_all = spark.read.parquet(cat.path(IndexCatalog.STAGING)).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        dictionary = (
-            staged_b.groupBy("field", "term")
-            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        dict_all = spark.read.parquet(cat.path(IndexCatalog.DICTIONARY)).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        cat.write(dictionary, f"{IndexCatalog.DICTIONARY}/bucket={bucket}")
-        # salt heavy terms by doc_id top bits — contiguous, signed-order-
-        # monotone ranges (top bit flipped), so per-salt posting runs are
-        # bounded AND globally mergeable by concatenation
-        with_df = staged_b.join(dictionary.select("field", "term", "df"), ["field", "term"])
         max_bits = int(math.log2(config.max_salts))
-        salted = with_df.withColumn(
-            "salt_bits",
-            F.least(
-                F.greatest(
-                    F.ceil(F.log2(F.col("df") / F.lit(config.salt_target_postings))).cast("int"),
-                    F.lit(0),
-                ),
-                F.lit(max_bits),
-            ),
-        ).withColumn(
-            "salt",
-            F.expr(
-                "cast(case when salt_bits <= 0 then 0 else "
-                "shiftrightunsigned(doc_id, 64 - salt_bits) ^ shiftleft(1L, salt_bits - 1) "
-                "end as int)"
-            ),
-        )
-        blocks = salted.groupBy("field", "term", "salt").applyInPandas(
-            builder, BLOCKS_SCHEMA
-        )
-        cat.write(blocks, IndexCatalog.POSTINGS, bucket=bucket)
-        bdf = spark.read.parquet(cat.path(IndexCatalog.POSTINGS, bucket=bucket))
-        agg = bdf.agg(
-            F.count("*").alias("blocks"),
-            F.sum("n").alias("postings"),
-            F.countDistinct("field", "term").alias("terms"),
-        ).collect()[0]
-        cat.commit_bucket(
-            bucket,
-            {
-                "blocks": int(agg["blocks"]),
-                "postings": int(agg["postings"]),
-                "terms": int(agg["terms"]),
-                "bytes": cat.table_bytes(f"{IndexCatalog.POSTINGS}/bucket={bucket}"),
-            },
-        )
+        for bucket in todo:
+            staged_b = staged_all.where(F.col("bucket") == bucket)
+            dict_b = dict_all.where(F.col("bucket") == bucket).select(
+                "field", "term", "df"
+            )
+            n_terms = dict_b.count()
+            # salt heavy terms by doc_id top bits — contiguous, signed-order-
+            # monotone ranges (top bit flipped), so per-salt posting runs are
+            # bounded AND globally mergeable by concatenation
+            salted = (
+                staged_b.join(dict_b, ["field", "term"])
+                .withColumn(
+                    "salt_bits",
+                    F.least(
+                        F.greatest(
+                            F.ceil(
+                                F.log2(F.col("df") / F.lit(config.salt_target_postings))
+                            ).cast("int"),
+                            F.lit(0),
+                        ),
+                        F.lit(max_bits),
+                    ),
+                )
+                .withColumn(
+                    "salt",
+                    F.expr(
+                        "cast(case when salt_bits <= 0 then 0 else "
+                        "shiftrightunsigned(doc_id, 64 - salt_bits) ^ shiftleft(1L, salt_bits - 1) "
+                        "end as int)"
+                    ),
+                )
+            )
+            blocks = salted.groupBy("field", "term", "salt").applyInPandas(
+                builder, BLOCKS_SCHEMA
+            )
+            obs = Observation(f"bucket_{bucket}")
+            blocks = blocks.observe(
+                obs, F.count(F.lit(1)).alias("blocks"), F.sum("n").alias("postings")
+            )
+            cat.write(blocks, IndexCatalog.POSTINGS, bucket=bucket)
+            m = obs.get
+            cat.commit_bucket(
+                bucket,
+                {
+                    "blocks": int(m["blocks"]),
+                    "postings": int(m["postings"]),
+                    "terms": int(n_terms),
+                    "bytes": cat.table_bytes(f"{IndexCatalog.POSTINGS}/bucket={bucket}"),
+                },
+            )
+        staged_all.unpersist()
+        dict_all.unpersist()
     cat.commit_stage("complete")
     return cat

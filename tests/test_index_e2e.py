@@ -161,6 +161,36 @@ def test_topk_rank_parity(built, spark):
         assert got.get(cid, []) == expected, f"{cid}"
 
 
+def test_all_136_categories_parity(built, spark):
+    """Engine vs oracle on the COMPLETE 136-query reference set: equal
+    per-category doc sets, identical BM25 scores."""
+    _, oracle, reader, _ = built
+    from ds_discovery_opensearch_taxonomy_spark.plans.queryparser import parse_query
+
+    cats = load_categories()
+    pairs = [(c["category_id"], c["query_text"]) for c in cats]
+    results = run_categories(spark, reader, pairs, scored=True).collect()
+    got: dict[str, dict[int, float]] = {cid: {} for cid, _ in pairs}
+    for r in results:
+        got[r["category_id"]][r["doc_id"]] = r["score"]
+    n_matched_categories = 0
+    for cid, qtext in pairs:
+        node = parse_query(qtext, TEST_CONFIG)
+        expected = dict(oracle.matching_docs(node))
+        g = got[cid]
+        assert set(g) == set(expected), (
+            f"{cid}: engine={len(g)} oracle={len(expected)}"
+        )
+        for d, s in expected.items():
+            assert math.isclose(g[d], s, rel_tol=1e-9, abs_tol=1e-12), (
+                f"{cid} doc {d}: {g[d]} vs {s}"
+            )
+        if expected:
+            n_matched_categories += 1
+    # the fragment-salted corpus must exercise a healthy share of categories
+    assert n_matched_categories >= 25, n_matched_categories
+
+
 def test_air_force_reference_doc(built, spark):
     """Reference assertion: row 0 (AIR 37/177 verbatim) is categorised
     'Air Force' (ElasticCategoriserRepositoryTest.cs)."""

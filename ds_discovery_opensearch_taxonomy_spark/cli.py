@@ -20,12 +20,15 @@ import json
 import sys
 
 
-def make_spark(cpus: str = "*", shuffle_partitions: int | None = None):
+def make_spark(
+    cpus: str = "*", shuffle_partitions: int | None = None, driver_memory: str = "48g"
+):
     from pyspark.sql import SparkSession
 
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("ds-discovery-taxonomy-spark")
+        .config("spark.driver.memory", driver_memory)  # local mode: the only JVM
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -116,7 +116,9 @@ class TaxonomyEngine:
         pulled from the index (df from the dictionary, N/avgdl from
         doc_stats) so single-doc scores match the batch path."""
         pairs = self._category_pairs(subset)
-        compiled, virtual, df_map = search_ops.compile_queries(self.reader, pairs, self.config)
+        compiled, virtual, df_map, _buckets = search_ops.compile_queries(
+            self.reader, pairs, self.config
+        )
         out = []
         for i, row in enumerate(rows):
             doc = build_oracle_doc(row.get("doc_id", i), row, self.config)

@@ -128,6 +128,120 @@ def _band_of(doc_ids: np.ndarray, band_bits: int) -> np.ndarray:
     return (u ^ np.uint64(1 << (band_bits - 1))).astype(np.int64)
 
 
+def _build_blocks_batch(
+    pdf: pd.DataFrame,
+    n_docs: float,
+    avgdl: dict[str, float],
+    k1: float,
+    b: float,
+    block_size: int,
+    band_bits: int,
+) -> pd.DataFrame:
+    """Vectorized block construction for a batch of COMPLETE
+    (field, term, salt) groups, already sorted by (field, term, salt,
+    doc_id).  Every codec pass runs ONCE over the whole batch; per-block
+    blobs are byte-slices of the batch-level varbyte streams (boundaries
+    from per-value end offsets).  Cost: O(postings) numpy + O(blocks)
+    python tuple assembly."""
+    n = len(pdf)
+    fld = pdf["field"].to_numpy()
+    trm = pdf["term"].to_numpy()
+    slt = pdf["salt"].to_numpy().astype(np.int64)
+    doc_ids = pdf["doc_id"].to_numpy()
+    tfs = pdf["tf"].to_numpy().astype(np.int64)
+    dls = pdf["dl"].to_numpy().astype(np.int64)
+    dfs = pdf["df"].to_numpy().astype(np.int64)
+    positions = pdf["positions"].to_numpy(dtype=object)
+    bands = _band_of(doc_ids, band_bits)
+
+    idx = np.arange(n, dtype=np.int64)
+    group_change = np.empty(n, dtype=bool)
+    group_change[0] = True
+    group_change[1:] = (
+        (fld[1:] != fld[:-1]) | (trm[1:] != trm[:-1]) | (slt[1:] != slt[:-1])
+    )
+    gb_change = group_change.copy()
+    gb_change[1:] |= bands[1:] != bands[:-1]
+    anchor = np.maximum.accumulate(np.where(gb_change, idx, 0))
+    is_start = gb_change | ((idx - anchor) % block_size == 0)
+    starts = np.flatnonzero(is_start)
+    ends = np.empty_like(starts)
+    ends[:-1] = starts[1:]
+    ends[-1] = n
+
+    # blk_seq: block ordinal within its (field, term, salt) group
+    g_id = np.cumsum(group_change) - 1
+    block_group = g_id[starts]
+    bidx = np.arange(len(starts), dtype=np.int64)
+    first_blk = np.empty(len(starts), dtype=bool)
+    first_blk[0] = True
+    first_blk[1:] = block_group[1:] != block_group[:-1]
+    blk_anchor = np.maximum.accumulate(np.where(first_blk, bidx, 0))
+    blk_seq = bidx - blk_anchor
+
+    # docids: gaps within a block, absolute (shifted) value at block start
+    u = doc_ids.astype(np.uint64) + np.uint64(1 << 63)
+    gaps = np.empty_like(u)
+    gaps[0] = u[0]
+    gaps[1:] = u[1:] - u[:-1]
+    gaps[starts] = u[starts]
+    doc_bytes, doc_ends = codec.varbyte_encode_offsets(gaps)
+    tf_bytes, tf_ends = codec.varbyte_encode_offsets(tfs.astype(np.uint64))
+    dl_bytes, dl_ends = codec.varbyte_encode_offsets(dls.astype(np.uint64))
+
+    # positions: per-posting lens + segmented deltas, encoded once
+    lens = np.fromiter((len(p) for p in positions), dtype=np.int64, count=n)
+    total_pos = int(lens.sum())
+    flat = (
+        np.concatenate([np.asarray(p, dtype=np.int64) for p in positions])
+        if total_pos
+        else np.empty(0, dtype=np.int64)
+    )
+    pos_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=pos_starts[1:])
+    deltas = np.empty_like(flat)
+    if total_pos:
+        deltas[0] = flat[0]
+        deltas[1:] = flat[1:] - flat[:-1]
+        seg = pos_starts[:-1][lens > 0]
+        deltas[seg] = flat[seg]
+    len_bytes, len_ends = codec.varbyte_encode_offsets(lens.astype(np.uint64))
+    pos_bytes, pos_ends = codec.varbyte_encode_offsets(deltas.astype(np.uint64))
+
+    av = np.array([avgdl[f] for f in fld], dtype=np.float64)
+    idfs = scoring.idf(dfs.astype(np.float64), n_docs)
+    scores = idfs * scoring.tf_norm(tfs.astype(float), dls.astype(float), av, k1, b)
+    ubs = np.maximum.reduceat(scores, starts)
+
+    de = np.concatenate([[0], doc_ends])
+    te = np.concatenate([[0], tf_ends])
+    le = np.concatenate([[0], dl_ends])
+    ne = np.concatenate([[0], len_ends])
+    pe_ = np.concatenate([[0], pos_ends])
+    rows = [
+        (
+            fld[s],
+            trm[s],
+            int(slt[s]),
+            int(bands[s]),
+            int(blk_seq[bi]),
+            int(e - s),
+            int(doc_ids[s]),
+            int(doc_ids[e - 1]),
+            int(dfs[s]),
+            float(idfs[s]),
+            float(ubs[bi]),
+            doc_bytes[de[s]:de[e]],
+            tf_bytes[te[s]:te[e]],
+            dl_bytes[le[s]:le[e]],
+            len_bytes[ne[s]:ne[e]],
+            pos_bytes[pe_[pos_starts[s]]:pe_[pos_starts[e]]],
+        )
+        for bi, (s, e) in enumerate(zip(starts, ends))
+    ]
+    return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+
+
 def make_block_builder(
     n_docs: float,
     avgdl: dict[str, float],
@@ -136,100 +250,39 @@ def make_block_builder(
     block_size: int,
     band_bits: int,
 ):
-    """Returns the applyInPandas function building sorted varbyte blocks for
-    one (field, term, salt) group."""
+    """Returns a mapInPandas function that streams sorted (field, term,
+    salt, doc_id) rows and emits posting blocks.  Groups split across Arrow
+    batches are carried to the next batch, so each group is built whole;
+    per-batch work is vectorized (no per-group UDF dispatch — this replaced
+    an applyInPandas that spent ~2.5 ms/group on Arrow plumbing alone)."""
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Fully vectorized: every codec pass runs ONCE over the whole
-        (field, term, salt) group; per-block blobs are byte-slices of the
-        group-level varbyte streams (boundaries from the per-value end
-        offsets), so cost is O(postings) numpy work + O(blocks) python."""
-        fname = pdf["field"].iloc[0]
-        term = pdf["term"].iloc[0]
-        salt = int(pdf["salt"].iloc[0])
-        df_val = int(pdf["df"].iloc[0])
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-        dls = pdf["dl"].to_numpy()[order].astype(np.int64)
-        positions = pdf["positions"].to_numpy(dtype=object)[order]
-        idf_val = float(scoring.idf(float(df_val), n_docs))
-        av = avgdl[fname]
-        n = len(doc_ids)
-        bands = _band_of(doc_ids, band_bits)
-
-        # block boundaries: every block_size postings, resetting at band edges
-        idx = np.arange(n, dtype=np.int64)
-        band_change = np.empty(n, dtype=bool)
-        band_change[0] = True
-        band_change[1:] = bands[1:] != bands[:-1]
-        band_start = np.maximum.accumulate(np.where(band_change, idx, 0))
-        is_start = band_change | ((idx - band_start) % block_size == 0)
-        starts = np.flatnonzero(is_start)
-        ends = np.empty_like(starts)
-        ends[:-1] = starts[1:]
-        ends[-1] = n
-
-        # docids: gaps within a block, absolute (shifted) value at block start
-        u = doc_ids.astype(np.uint64) + np.uint64(1 << 63)
-        gaps = np.empty_like(u)
-        gaps[0] = u[0]
-        gaps[1:] = u[1:] - u[:-1]
-        gaps[starts] = u[starts]
-        doc_bytes, doc_ends = codec.varbyte_encode_offsets(gaps)
-        tf_bytes, tf_ends = codec.varbyte_encode_offsets(tfs.astype(np.uint64))
-        dl_bytes, dl_ends = codec.varbyte_encode_offsets(dls.astype(np.uint64))
-
-        # positions: per-posting lens + segmented deltas, encoded once
-        lens = np.fromiter((len(p) for p in positions), dtype=np.int64, count=n)
-        total_pos = int(lens.sum())
-        if total_pos:
-            flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in positions])
-        else:
-            flat = np.empty(0, dtype=np.int64)
-        pos_starts = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(lens, out=pos_starts[1:])
-        deltas = np.empty_like(flat)
-        if total_pos:
-            deltas[0] = flat[0]
-            deltas[1:] = flat[1:] - flat[:-1]
-            seg = pos_starts[:-1][lens > 0]
-            deltas[seg] = flat[seg]
-        len_bytes, len_ends = codec.varbyte_encode_offsets(lens.astype(np.uint64))
-        pos_bytes, pos_ends = codec.varbyte_encode_offsets(deltas.astype(np.uint64))
-
-        scores = idf_val * scoring.tf_norm(tfs.astype(float), dls.astype(float), av, k1, b)
-        ubs = np.maximum.reduceat(scores, starts)
-
-        def bstart(end_offsets: np.ndarray, value_idx: int) -> int:
-            return 0 if value_idx == 0 else int(end_offsets[value_idx - 1])
-
-        rows = []
-        for blk_seq, (s, e) in enumerate(zip(starts, ends)):
-            ps, pe = int(pos_starts[s]), int(pos_starts[e])
-            rows.append(
-                (
-                    fname,
-                    term,
-                    salt,
-                    int(bands[s]),
-                    blk_seq,
-                    int(e - s),
-                    int(doc_ids[s]),
-                    int(doc_ids[e - 1]),
-                    df_val,
-                    idf_val,
-                    float(ubs[blk_seq]),
-                    doc_bytes[bstart(doc_ends, s):int(doc_ends[e - 1])],
-                    tf_bytes[bstart(tf_ends, s):int(tf_ends[e - 1])],
-                    dl_bytes[bstart(dl_ends, s):int(dl_ends[e - 1])],
-                    len_bytes[bstart(len_ends, s):int(len_ends[e - 1])],
-                    pos_bytes[bstart(pos_ends, ps):int(pos_ends[pe - 1])] if pe > ps else b"",
-                )
+    def run(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            fld = pdf["field"].to_numpy()
+            trm = pdf["term"].to_numpy()
+            slt = pdf["salt"].to_numpy()
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (
+                (fld[1:] != fld[:-1]) | (trm[1:] != trm[:-1]) | (slt[1:] != slt[:-1])
             )
-        return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+            last_start = int(np.flatnonzero(change)[-1])
+            if last_start == 0:
+                carry = pdf  # single (possibly continuing) group — hold it
+                continue
+            carry = pdf.iloc[last_start:]
+            done = pdf.iloc[:last_start]
+            yield _build_blocks_batch(done, n_docs, avgdl, k1, b, block_size, band_bits)
+        if carry is not None and len(carry):
+            yield _build_blocks_batch(carry, n_docs, avgdl, k1, b, block_size, band_bits)
 
-    return build
+    return run
 
 
 def build_index(
@@ -352,8 +405,11 @@ def build_index(
                     ),
                 )
             )
-            blocks = salted.groupBy("field", "term", "salt").applyInPandas(
-                builder, BLOCKS_SCHEMA
+            n_parts = max(spark.sparkContext.defaultParallelism, 8)
+            blocks = (
+                salted.repartition(n_parts, "field", "term", "salt")
+                .sortWithinPartitions("field", "term", "salt", "doc_id")
+                .mapInPandas(builder, BLOCKS_SCHEMA)
             )
             obs = Observation(f"bucket_{bucket}")
             blocks = blocks.observe(

@@ -171,7 +171,7 @@ def compile_queries(
     Lucene still sums their idf) and bands where a term has no postings.
 
     Returns (compiled nodes by category_id, virtual doc arrays by key,
-    df by (field, term))."""
+    df by (field, term), hosting bucket by (field, term))."""
     config = config or reader.config
     parsed = {cid: qp.parse_query(q, config) for cid, q in categories}
 
@@ -231,16 +231,18 @@ def compile_queries(
     for node in compiled.values():
         all_terms |= needed_terms(node)
     df_map: dict[tuple[str, str], int] = {}
+    bucket_map: dict[tuple[str, str], int] = {}
     if all_terms:
         tdf = reader.spark.createDataFrame(sorted(all_terms), ["field", "term"])
         rows = (
             reader.dictionary()
             .join(F.broadcast(tdf), ["field", "term"], "inner")
-            .select("field", "term", "df")
+            .select("field", "term", "df", "bucket")
             .collect()
         )
         df_map = {(r["field"], r["term"]): int(r["df"]) for r in rows}
-    return compiled, virtual, df_map
+        bucket_map = {(r["field"], r["term"]): int(r["bucket"]) for r in rows}
+    return compiled, virtual, df_map, bucket_map
 
 
 def needed_terms(node: qp.Node) -> set[tuple[str, str]]:
@@ -628,7 +630,7 @@ def run_categories(
     top-k per category when ``top_k`` is given (ties broken doc_id asc,
     mirroring rank order (score desc, doc_id asc))."""
     config = config or reader.config
-    compiled, virtual, df_map = compile_queries(reader, categories, config)
+    compiled, virtual, df_map, bucket_map = compile_queries(reader, categories, config)
 
     term_cats: dict[tuple[str, str], list[str]] = {}
     for cid, node in compiled.items():
@@ -641,15 +643,12 @@ def run_categories(
         [(f, t, cid) for (f, t), cids in term_cats.items() for cid in cids],
         ["field", "term", "category_id"],
     )
-    # bucket pruning: compute the buckets hosting the needed terms
-    buckets = [
-        r["bucket"]
-        for r in terms_df.select(
-            F.pmod(F.xxhash64("field", "term"), F.lit(config.n_term_buckets)).alias("bucket")
-        )
-        .distinct()
-        .collect()
-    ]
+    # bucket pruning: buckets hosting the needed terms — known from the
+    # dictionary fetch in compile_queries (no extra job); terms absent from
+    # the dictionary have no postings anywhere
+    buckets = sorted({b for b in bucket_map.values()})
+    if not buckets:
+        return spark.createDataFrame([], RESULT_SCHEMA)
     blocks = reader.postings().where(F.col("bucket").isin(buckets))
     tagged = blocks.join(F.broadcast(terms_df), ["field", "term"])
 

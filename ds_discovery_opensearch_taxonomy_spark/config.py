@@ -86,6 +86,10 @@ class EngineConfig:
     #: time (1 in local tests; O(#executors) on a cluster).
     n_eval_bands: int = 1
 
+    #: concurrent bucket-build jobs (reference runs 5 concurrent batches,
+    #: FullReindexCategoriser.cs:87-213); each commits independently.
+    build_parallelism: int = 4
+
     def field_spec(self, name: str) -> FieldSpec | None:
         for f in self.fields:
             if f.name == name:

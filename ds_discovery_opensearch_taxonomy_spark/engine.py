@@ -222,7 +222,12 @@ class _GlobalStatsOracle(OracleIndex):
 
     def evaluate(self, node, doc):  # wildcard/ranges arrive pre-expanded
         if isinstance(node, search_ops.ExpandedTermsNode):
-            hit = any(t in doc.fields.get(node.field, {}) for t in node.terms)
+            doc_terms = doc.fields.get(node.field, {})
+            hit = any(t in doc_terms for t in node.terms)
+            if not hit and node.source is not None:
+                # ad-hoc docs may contain matching terms the index never saw
+                self.terms_by_field = {node.field: sorted(doc_terms)}
+                hit, _ = OracleIndex.evaluate(self, node.source, doc)
             return hit, 1.0 if hit else 0.0
         if isinstance(node, search_ops.VirtualDocsNode):
             # metadata clauses for ad-hoc docs: evaluate from the doc itself

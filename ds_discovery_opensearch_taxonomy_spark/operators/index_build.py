@@ -363,22 +363,26 @@ def build_index(
     done = cat.committed_buckets()
     todo = [b for b in range(config.n_term_buckets) if b not in done]
     if todo:
-        from pyspark import StorageLevel
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark.sql import Observation
 
-        staged_all = spark.read.parquet(cat.path(IndexCatalog.STAGING)).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        dict_all = spark.read.parquet(cat.path(IndexCatalog.DICTIONARY)).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        staged_all = spark.read.parquet(cat.path(IndexCatalog.STAGING))
+        dict_all = spark.read.parquet(cat.path(IndexCatalog.DICTIONARY))
+        terms_per_bucket = {
+            int(r["bucket"]): int(r["n"])
+            for r in dict_all.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
         max_bits = int(math.log2(config.max_salts))
-        for bucket in todo:
+        manifest_lock = threading.Lock()
+
+        def do_bucket(bucket: int) -> None:
             staged_b = staged_all.where(F.col("bucket") == bucket)
             dict_b = dict_all.where(F.col("bucket") == bucket).select(
                 "field", "term", "df"
             )
-            n_terms = dict_b.count()
+            n_terms = terms_per_bucket.get(bucket, 0)
             # salt heavy terms by doc_id top bits — contiguous, signed-order-
             # monotone ranges (top bit flipped), so per-salt posting runs are
             # bounded AND globally mergeable by concatenation
@@ -417,16 +421,31 @@ def build_index(
             )
             cat.write(blocks, IndexCatalog.POSTINGS, bucket=bucket)
             m = obs.get
-            cat.commit_bucket(
-                bucket,
-                {
-                    "blocks": int(m["blocks"]),
-                    "postings": int(m["postings"]),
-                    "terms": int(n_terms),
-                    "bytes": cat.table_bytes(f"{IndexCatalog.POSTINGS}/bucket={bucket}"),
-                },
-            )
-        staged_all.unpersist()
-        dict_all.unpersist()
+            with manifest_lock:
+                cat.commit_bucket(
+                    bucket,
+                    {
+                        "blocks": int(m["blocks"]),
+                        "postings": int(m["postings"]),
+                        "terms": int(n_terms),
+                        "bytes": cat.table_bytes(
+                            f"{IndexCatalog.POSTINGS}/bucket={bucket}"
+                        ),
+                    },
+                )
+
+        # concurrent bucket jobs (the reference runs 5 categorisation
+        # batches concurrently, FullReindexCategoriser.cs:87-213) — Spark's
+        # scheduler interleaves them, hiding each job's serial phases;
+        # commits stay per-bucket, so kill/resume granularity is unchanged
+        workers = min(config.build_parallelism, len(todo))
+        if workers <= 1:
+            for bkt in todo:
+                do_bucket(bkt)
+        else:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                futures = [ex.submit(do_bucket, bkt) for bkt in todo]
+                for f in futures:
+                    f.result()
     cat.commit_stage("complete")
     return cat

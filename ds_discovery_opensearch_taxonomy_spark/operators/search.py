@@ -146,10 +146,14 @@ def re_escape_java(ch: str) -> str:
 @dataclass(frozen=True)
 class ExpandedTermsNode(qp.Node):
     """Wildcard / term-range after dictionary expansion: constant score 1.0
-    for any doc containing >= 1 of the expanded terms."""
+    for any doc containing >= 1 of the expanded terms.  ``source`` keeps the
+    original construct so the single-doc (daily-update) path can also match
+    terms the index has never seen — the reference expands multi-term
+    queries against the transient per-doc index, not a global dictionary."""
 
     field: str
     terms: tuple[str, ...]
+    source: qp.Node | None = None
 
 
 @dataclass(frozen=True)
@@ -215,9 +219,11 @@ def compile_queries(
 
     def rewrite(node: qp.Node) -> qp.Node:
         if isinstance(node, qp.WildcardNode):
-            return ExpandedTermsNode(node.field, pat_map.get((node.field, node.pattern), ()))
+            return ExpandedTermsNode(
+                node.field, pat_map.get((node.field, node.pattern), ()), node
+            )
         if isinstance(node, qp.TermRangeNode):
-            return ExpandedTermsNode(node.field, range_map.get(node, ()))
+            return ExpandedTermsNode(node.field, range_map.get(node, ()), node)
         if isinstance(node, (qp.IntTermNode, qp.IntRangeNode, qp.IdNode)):
             return VirtualDocsNode(resolve_virtual(node))
         if isinstance(node, qp.BoolNode):

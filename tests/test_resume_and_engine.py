@@ -15,7 +15,12 @@ from ds_discovery_opensearch_taxonomy_spark.sources.corpus import (
     with_doc_ids,
 )
 
-CFG = EngineConfig(n_term_buckets=4, salt_target_postings=64, n_eval_bands=2)
+# build_parallelism=1: the kill-after-2-commits test needs deterministic
+# commit order (concurrent workers would commit later buckets before the
+# injected failure propagates)
+CFG = EngineConfig(
+    n_term_buckets=4, salt_target_postings=64, n_eval_bands=2, build_parallelism=1
+)
 N = 250
 
 

@@ -7,8 +7,11 @@ The persistent index stores, per (field, term, salt, block):
 * ``dls``   — document field length per posting, varbyte (kept inline so the
   scorer needs no doc-stats join at query time; at 100 TB scale this can be
   swapped for a co-partitioned norms table);
-* ``poslens``/``positions`` — per-posting position counts + delta-encoded
-  positions, varbyte (Lucene .pos-file analogue; needed for phrase/slop).
+* ``posdata`` — delta-encoded positions, varbyte (Lucene .pos-file
+  analogue; needed for phrase/slop).  Per-posting position COUNTS are not
+  stored — they equal ``tfs`` — and each posting's delta chain restarts at
+  an absolute value, so posting byte-runs concatenate freely across
+  staging rows and block boundaries.
 
 All encode/decode paths are vectorized (no per-int Python loops): encoding
 computes per-value byte widths with bit arithmetic and scatters 7-bit groups;
@@ -134,21 +137,44 @@ def decode_docids(data: bytes, base: int = 0) -> np.ndarray:
         return (u - _U64(1 << 63)).astype(np.int64)
 
 
-def encode_positions(position_lists: list[np.ndarray]) -> tuple[bytes, bytes]:
-    """Per-posting sorted position lists -> (poslens varbyte, deltas varbyte)."""
-    if not position_lists:
-        return b"", b""
-    lens = np.array([len(p) for p in position_lists], dtype=np.uint64)
-    flat = np.concatenate(
-        [delta_encode(np.asarray(p, dtype=np.int64)) for p in position_lists]
-    ) if lens.sum() else np.empty(0, dtype=np.int64)
-    return varbyte_encode(lens), varbyte_encode(flat.astype(np.uint64))
+def encode_position_lists(position_lists: list) -> list[bytes]:
+    """Per-posting sorted position lists -> one varbyte byte-string per
+    posting (delta-encoded, first value absolute).  ONE vectorized codec
+    pass over the whole batch; per-posting blobs are byte-slices of the
+    batch stream (used by the index-build tokenizer so staging carries
+    binary, not list<int>, columns)."""
+    n = len(position_lists)
+    if n == 0:
+        return []
+    lens = np.fromiter((len(p) for p in position_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return [b""] * n
+    flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in position_lists])
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    deltas = np.empty_like(flat)
+    deltas[0] = flat[0]
+    deltas[1:] = flat[1:] - flat[:-1]
+    seg = starts[:-1][lens > 0]
+    deltas[seg] = flat[seg]
+    data, ends = varbyte_encode_offsets(deltas.astype(np.uint64))
+    be = np.zeros(total + 1, dtype=np.int64)
+    be[1:] = ends
+    return [data[be[starts[i]]:be[starts[i + 1]]] for i in range(n)]
 
 
-def decode_positions(poslens: bytes, posdata: bytes) -> tuple[np.ndarray, np.ndarray]:
+def encode_positions(position_lists: list[np.ndarray]) -> bytes:
+    """Per-posting sorted position lists -> concatenated delta varbyte."""
+    return b"".join(encode_position_lists(position_lists))
+
+
+def decode_positions(lens: np.ndarray, posdata: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Returns (offsets, flat_positions): posting i's positions are
-    ``flat_positions[offsets[i]:offsets[i+1]]`` (already delta-decoded)."""
-    lens = varbyte_decode(poslens).astype(np.int64)
+    ``flat_positions[offsets[i]:offsets[i+1]]`` (already delta-decoded).
+    ``lens`` is the per-posting position count — i.e. the decoded ``tfs``
+    array (position count == term frequency by construction)."""
+    lens = np.asarray(lens, dtype=np.int64)
     flat_deltas = varbyte_decode(posdata).astype(np.int64)
     offsets = np.zeros(lens.size + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])

@@ -5,7 +5,7 @@ Spark re-plan of the reference's per-batch RAMDirectory indexing
 (SURVEY.md §3.1):
 
   corpus ──mapInPandas tokenize (Arrow, memoized analyzers)──▶
-  staging (field, term, doc_id, tf, dl, positions) partitioned by
+  staging (field, term, doc_id, tf, dl, pos_bytes) partitioned by
   term-hash bucket ──per-bucket, resumable──▶ df/cf dictionary +
   salt-split sorted posting blocks (docID-gap varbyte + per-block
   max-score metadata) ──manifest commit──▶ global postings table.
@@ -28,7 +28,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -44,7 +44,11 @@ TOKENS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("tf", T.IntegerType(), False),
         T.StructField("dl", T.IntegerType(), False),
-        T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+        # per-posting positions, ALREADY delta+varbyte encoded (first value
+        # absolute, so byte-runs concatenate across rows/blocks).  Binary
+        # beats list<int32> ~2.5x on the partitioned staging write (parquet
+        # repetition levels + dynamic-partition sort dominate otherwise).
+        T.StructField("pos_bytes", T.BinaryType(), False),
     ]
 )
 
@@ -64,14 +68,13 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("docids", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("dls", T.BinaryType(), False),
-        T.StructField("poslens", T.BinaryType(), False),
         T.StructField("posdata", T.BinaryType(), False),
     ]
 )
 
 
 def tokenize_corpus(corpus: DataFrame, config: EngineConfig) -> DataFrame:
-    """corpus (with doc_id) -> (field, term, doc_id, tf, dl, positions).
+    """corpus (with doc_id) -> (field, term, doc_id, tf, dl, pos_bytes).
 
     Vectorized via mapInPandas (Arrow batches); token analysis is memoized
     per unique raw token (functions/analysis.py), so cost scales with
@@ -111,7 +114,8 @@ def tokenize_corpus(corpus: DataFrame, config: EngineConfig) -> DataFrame:
                     "doc_id": out_doc,
                     "tf": out_tf,
                     "dl": out_dl,
-                    "positions": out_pos,
+                    # one vectorized codec pass for the whole Arrow batch
+                    "pos_bytes": codec.encode_position_lists(out_pos),
                 }
             )
 
@@ -151,7 +155,7 @@ def _build_blocks_batch(
     tfs = pdf["tf"].to_numpy().astype(np.int64)
     dls = pdf["dl"].to_numpy().astype(np.int64)
     dfs = pdf["df"].to_numpy().astype(np.int64)
-    positions = pdf["positions"].to_numpy(dtype=object)
+    pos_bytes = pdf["pos_bytes"].to_numpy(dtype=object)
     bands = _band_of(doc_ids, band_bits)
 
     idx = np.arange(n, dtype=np.int64)
@@ -189,24 +193,12 @@ def _build_blocks_batch(
     tf_bytes, tf_ends = codec.varbyte_encode_offsets(tfs.astype(np.uint64))
     dl_bytes, dl_ends = codec.varbyte_encode_offsets(dls.astype(np.uint64))
 
-    # positions: per-posting lens + segmented deltas, encoded once
-    lens = np.fromiter((len(p) for p in positions), dtype=np.int64, count=n)
-    total_pos = int(lens.sum())
-    flat = (
-        np.concatenate([np.asarray(p, dtype=np.int64) for p in positions])
-        if total_pos
-        else np.empty(0, dtype=np.int64)
-    )
-    pos_starts = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(lens, out=pos_starts[1:])
-    deltas = np.empty_like(flat)
-    if total_pos:
-        deltas[0] = flat[0]
-        deltas[1:] = flat[1:] - flat[:-1]
-        seg = pos_starts[:-1][lens > 0]
-        deltas[seg] = flat[seg]
-    len_bytes, len_ends = codec.varbyte_encode_offsets(lens.astype(np.uint64))
-    pos_bytes, pos_ends = codec.varbyte_encode_offsets(deltas.astype(np.uint64))
+    # positions arrive pre-encoded per posting (delta varbyte, absolute
+    # first value) — block posdata is a byte-slice of the concatenation
+    pos_blob = b"".join(pos_bytes)
+    pos_lens = np.fromiter((len(b) for b in pos_bytes), dtype=np.int64, count=n)
+    pos_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(pos_lens, out=pos_off[1:])
 
     av = np.array([avgdl[f] for f in fld], dtype=np.float64)
     idfs = scoring.idf(dfs.astype(np.float64), n_docs)
@@ -216,8 +208,6 @@ def _build_blocks_batch(
     de = np.concatenate([[0], doc_ends])
     te = np.concatenate([[0], tf_ends])
     le = np.concatenate([[0], dl_ends])
-    ne = np.concatenate([[0], len_ends])
-    pe_ = np.concatenate([[0], pos_ends])
     rows = [
         (
             fld[s],
@@ -234,8 +224,7 @@ def _build_blocks_batch(
             doc_bytes[de[s]:de[e]],
             tf_bytes[te[s]:te[e]],
             dl_bytes[le[s]:le[e]],
-            len_bytes[ne[s]:ne[e]],
-            pos_bytes[pe_[pos_starts[s]]:pe_[pos_starts[e]]],
+            pos_blob[pos_off[s]:pos_off[e]],
         )
         for bi, (s, e) in enumerate(zip(starts, ends))
     ]
@@ -309,35 +298,54 @@ def build_index(
             f for f in config.int_fields if f in corpus_with_ids.columns
         ]
         docs = corpus_with_ids.select(*[c for c in meta_cols if c in corpus_with_ids.columns])
-        cat.write(docs, IndexCatalog.DOCS)
-        n_docs = spark.read.parquet(cat.path(IndexCatalog.DOCS)).count()
-        cat.commit_stage("docs", {"n_docs": n_docs})
+        docs_obs = Observation("docs")
+        cat.write(docs.observe(docs_obs, F.count(F.lit(1)).alias("n")), IndexCatalog.DOCS)
+        cat.commit_stage("docs", {"n_docs": int(docs_obs.get["n"])})
 
     n_docs = int(cat.manifest()["stages"]["docs"]["metrics"]["n_docs"])
 
     # -- stage 2: staged tokens, partitioned by term-hash bucket ------------
+    # per-field sum(tf) rides the write as conditional-sum observations:
+    # sum(tf) over staged rows of a field == sum of per-doc field lengths
+    # (each doc-field's tfs sum to its token count), so avgdl needs no
+    # second pass over staging at all.
+    field_names = [f.name for f in config.fields]
     if not cat.stage_done("staging"):
         tokens = tokenize_corpus(corpus_with_ids, config)
         staged = tokens.withColumn(
             "bucket", F.pmod(F.xxhash64("field", "term"), F.lit(config.n_term_buckets))
         )
-        cat.write(staged, IndexCatalog.STAGING, partition_by=["bucket"])
-        cat.commit_stage("staging", {"bytes": cat.table_bytes(IndexCatalog.STAGING)})
-
-    # -- stage 3: per-field doc stats (N, avgdl) -----------------------------
-    if not cat.stage_done("doc_stats"):
-        staged = spark.read.parquet(cat.path(IndexCatalog.STAGING))
-        stats = (
-            staged.groupBy("field", "doc_id")
-            .agg(F.first("dl").alias("dl"))
-            .groupBy("field")
-            .agg(
-                F.count("*").alias("n_docs_with_field"),
-                F.sum("dl").alias("sum_dl"),
-            )
-            .withColumn("n_docs", F.lit(n_docs))
-            .withColumn("avgdl", F.col("sum_dl") / F.lit(n_docs))
+        stg_obs = Observation("staging")
+        staged = staged.observe(
+            stg_obs,
+            *[
+                F.sum(F.when(F.col("field") == fn, F.col("tf")).otherwise(0)).alias(fn)
+                for fn in field_names
+            ],
         )
+        cat.write(staged, IndexCatalog.STAGING, partition_by=["bucket"])
+        sum_dl = {fn: int(stg_obs.get[fn] or 0) for fn in field_names}
+        cat.commit_stage(
+            "staging",
+            {"bytes": cat.table_bytes(IndexCatalog.STAGING), "sum_dl": sum_dl},
+        )
+
+    # -- stage 3: per-field doc stats (N, avgdl) — tiny driver-built table --
+    if not cat.stage_done("doc_stats"):
+        sum_dl = cat.manifest()["stages"]["staging"]["metrics"].get("sum_dl")
+        if sum_dl is None:  # resumed from an older staging commit
+            staged = spark.read.parquet(cat.path(IndexCatalog.STAGING))
+            sum_dl = {
+                r["field"]: int(r["s"])
+                for r in staged.groupBy("field").agg(F.sum("tf").alias("s")).collect()
+            }
+        stats = spark.createDataFrame(
+            [
+                (fn, int(sum_dl.get(fn, 0)), n_docs, sum_dl.get(fn, 0) / n_docs if n_docs else 1.0)
+                for fn in field_names
+            ],
+            "field string, sum_dl long, n_docs long, avgdl double",
+        ).coalesce(1)
         cat.write(stats, IndexCatalog.DOC_STATS)
         cat.commit_stage("doc_stats")
 
@@ -345,18 +353,11 @@ def build_index(
     avgdl = {r["field"]: float(r["avgdl"]) for r in stats_rows}
     band_bits = max(config.n_eval_bands - 1, 0).bit_length()
 
-    # -- stage 4: dictionary (df/cf) — ONE job for every bucket --------------
-    if not cat.stage_done("dictionary"):
-        staged = spark.read.parquet(cat.path(IndexCatalog.STAGING))
-        dictionary = staged.groupBy("bucket", "field", "term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf")
-        )
-        cat.write(dictionary, IndexCatalog.DICTIONARY, partition_by=["bucket"])
-        cat.commit_stage("dictionary")
-
-    # -- stage 5: per-bucket postings build (resumable loop) ----------------
-    # one Spark job per bucket: staging + dictionary stay persisted across
-    # iterations; metrics come from Observation (no read-back pass)
+    # -- stage 4: per-bucket dictionary + postings build (resumable loop) ---
+    # one Spark job chain per bucket; the bucket's df/cf dictionary is
+    # aggregated from its own staging slice and committed atomically with
+    # its postings (the global dictionary is the union of bucket partitions);
+    # metrics come from Observation (no read-back pass)
     builder = make_block_builder(
         float(n_docs), avgdl, config.k1, config.b, config.block_size, band_bits
     )
@@ -366,23 +367,25 @@ def build_index(
         import threading
         from concurrent.futures import ThreadPoolExecutor
 
-        from pyspark.sql import Observation
-
         staged_all = spark.read.parquet(cat.path(IndexCatalog.STAGING))
-        dict_all = spark.read.parquet(cat.path(IndexCatalog.DICTIONARY))
-        terms_per_bucket = {
-            int(r["bucket"]): int(r["n"])
-            for r in dict_all.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-        }
         max_bits = int(math.log2(config.max_salts))
         manifest_lock = threading.Lock()
 
         def do_bucket(bucket: int) -> None:
             staged_b = staged_all.where(F.col("bucket") == bucket)
-            dict_b = dict_all.where(F.col("bucket") == bucket).select(
-                "field", "term", "df"
+            dict_df = staged_b.groupBy("field", "term").agg(
+                F.count("*").alias("df"), F.sum("tf").alias("cf")
             )
-            n_terms = terms_per_bucket.get(bucket, 0)
+            dict_obs = Observation(f"dict_{bucket}")
+            cat.write(
+                dict_df.observe(dict_obs, F.count(F.lit(1)).alias("terms")),
+                IndexCatalog.DICTIONARY,
+                bucket=bucket,
+            )
+            n_terms = int(dict_obs.get["terms"])
+            dict_b = spark.read.parquet(
+                cat.path(IndexCatalog.DICTIONARY, bucket=bucket)
+            ).select("field", "term", "df")
             # salt heavy terms by doc_id top bits — contiguous, signed-order-
             # monotone ranges (top bit flipped), so per-salt posting runs are
             # bounded AND globally mergeable by concatenation

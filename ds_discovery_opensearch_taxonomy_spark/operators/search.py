@@ -65,10 +65,10 @@ class IndexReader:
     # -- tables -------------------------------------------------------------
 
     def dictionary(self) -> DataFrame:
-        return self.spark.read.parquet(self.cat.path(IndexCatalog.DICTIONARY))
+        return self.cat.read(self.spark, IndexCatalog.DICTIONARY)
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.cat.path(IndexCatalog.POSTINGS))
+        return self.cat.read(self.spark, IndexCatalog.POSTINGS)
 
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(self.cat.path(IndexCatalog.DOCS))
@@ -293,8 +293,9 @@ def _decode_rows(rows: pd.DataFrame, need_positions: bool) -> _TermData:
     if need_positions:
         offs, flats = [], []
         carry = 0
-        for pl, pdta in zip(rows["poslens"], rows["posdata"]):
-            o, f_ = codec.decode_positions(pl, pdta)
+        # per-posting position counts == tfs (no separate poslens stream)
+        for tf_arr, pdta in zip(tfs, rows["posdata"]):
+            o, f_ = codec.decode_positions(tf_arr, pdta)
             offs.append(o[:-1] + carry if len(o) > 1 else o[:0] + carry)
             carry += int(o[-1]) if len(o) else 0
             flats.append(f_)

@@ -87,8 +87,8 @@ class IndexCatalog:
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         p = self.root / table
-        if table == self.POSTINGS and not (p / "_SUCCESS").exists():
-            # bucket-partitioned directory tree
+        if table in (self.POSTINGS, self.DICTIONARY) and not (p / "_SUCCESS").exists():
+            # bucket-partitioned directory tree, written bucket-at-a-time
             return spark.read.option("basePath", str(p)).parquet(str(p / "bucket=*"))
         return spark.read.parquet(str(p))
 

@@ -74,8 +74,9 @@ class TestPositions:
             np.array([], dtype=np.int64),
             np.array([1, 2, 3, 1000]),
         ]
-        lens_b, pos_b = encode_positions(plists)
-        offsets, flat = decode_positions(lens_b, pos_b)
+        pos_b = encode_positions(plists)
+        lens = np.array([len(x) for x in plists])
+        offsets, flat = decode_positions(lens, pos_b)
         assert offsets.tolist() == [0, 3, 4, 4, 8]
         for i, p in enumerate(plists):
             assert flat[offsets[i]:offsets[i + 1]].tolist() == list(p)
@@ -90,7 +91,8 @@ class TestPositions:
     )
     def test_roundtrip_fuzz(self, lists):
         plists = [np.array(sorted(s), dtype=np.int64) for s in lists]
-        lens_b, pos_b = encode_positions(plists)
-        offsets, flat = decode_positions(lens_b, pos_b)
+        pos_b = encode_positions(plists)
+        lens = np.array([len(x) for x in plists])
+        offsets, flat = decode_positions(lens, pos_b)
         for i, p in enumerate(plists):
             assert flat[offsets[i]:offsets[i + 1]].tolist() == list(p)

@@ -86,6 +86,12 @@ class EngineConfig:
     #: time (1 in local tests; O(#executors) on a cluster).
     n_eval_bands: int = 1
 
+    #: categories evaluated per (chunk, band) task — a chunk's categories
+    #: share one decoded-postings cache, and a term needed by several of
+    #: them ships once per chunk in the eval shuffle instead of once per
+    #: category.  Parallelism = ceil(#categories / chunk) × n_eval_bands.
+    eval_chunk_size: int = 8
+
     #: concurrent bucket-build jobs (reference runs 5 concurrent batches,
     #: FullReindexCategoriser.cs:87-213); each commits independently.
     build_parallelism: int = 4

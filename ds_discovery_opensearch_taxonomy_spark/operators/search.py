@@ -61,6 +61,11 @@ class IndexReader:
         stats = spark.read.parquet(self.cat.path(IndexCatalog.DOC_STATS)).collect()
         self.n_docs = int(stats[0]["n_docs"]) if stats else 0
         self.avgdl = {r["field"]: float(r["avgdl"]) for r in stats}
+        #: compile_queries results per (categories, config) — the index a
+        #: reader points at is immutable, so expansions/df never go stale
+        #: (mirrors the reference's static parsed-query cache,
+        #: InMemoryCategoriserRepository.cs:30,337-363)
+        self.compile_cache: dict = {}
 
     # -- tables -------------------------------------------------------------
 
@@ -177,6 +182,10 @@ def compile_queries(
     Returns (compiled nodes by category_id, virtual doc arrays by key,
     df by (field, term), hosting bucket by (field, term))."""
     config = config or reader.config
+    cache_key = (tuple(categories), config)
+    cached = reader.compile_cache.get(cache_key)
+    if cached is not None:
+        return cached
     parsed = {cid: qp.parse_query(q, config) for cid, q in categories}
 
     patterns: set[tuple[str, str]] = set()
@@ -248,7 +257,9 @@ def compile_queries(
         )
         df_map = {(r["field"], r["term"]): int(r["df"]) for r in rows}
         bucket_map = {(r["field"], r["term"]): int(r["bucket"]) for r in rows}
-    return compiled, virtual, df_map, bucket_map
+    out = (compiled, virtual, df_map, bucket_map)
+    reader.compile_cache[cache_key] = out
+    return out
 
 
 def needed_terms(node: qp.Node) -> set[tuple[str, str]]:
@@ -281,35 +292,38 @@ class _TermData:
 _EMPTY = np.empty(0, dtype=np.int64)
 
 
+_U64_SHIFT = np.uint64(1 << 63)
+
+
 def _decode_rows(rows: pd.DataFrame, need_positions: bool) -> _TermData:
     """Decode all blocks of one (field, term): salts are contiguous
     signed-order ranges, so sorting rows by (salt, blk_seq) and concatenating
-    yields globally sorted doc ids."""
+    yields globally sorted doc ids.
+
+    Each varbyte stream (docids/tfs/dls/posdata) is decoded in ONE pass over
+    the concatenation of the term's blocks — every block's first docid gap
+    is absolute, so per-block values are recovered with a segmented cumsum
+    (subtract the carried prefix at each block start) instead of per-block
+    decode calls, which dominated the profile at ~70 blocks/term."""
     rows = rows.sort_values(["salt", "blk_seq"])
-    ids = [codec.decode_docids(b, base=None) for b in rows["docids"]]
-    tfs = [codec.varbyte_decode(b).astype(np.int64) for b in rows["tfs"]]
-    dls = [codec.varbyte_decode(b).astype(np.int64) for b in rows["dls"]]
+    ns = rows["n"].to_numpy().astype(np.int64)
+    total = int(ns.sum())
+    gaps = codec.varbyte_decode(b"".join(rows["docids"]), count=total)
+    with np.errstate(over="ignore"):
+        cum = np.cumsum(gaps, dtype=np.uint64)
+        starts = np.zeros(len(ns), dtype=np.int64)
+        np.cumsum(ns[:-1], out=starts[1:])
+        base = cum[starts] - gaps[starts]  # carried prefix per block
+        cum -= np.repeat(base, ns)
+        ids = (cum - _U64_SHIFT).astype(np.int64)
+    tfs = codec.varbyte_decode(b"".join(rows["tfs"]), count=total).astype(np.int64)
+    dls = codec.varbyte_decode(b"".join(rows["dls"]), count=total).astype(np.int64)
     pos_offsets = pos_flat = None
     if need_positions:
-        offs, flats = [], []
-        carry = 0
-        # per-posting position counts == tfs (no separate poslens stream)
-        for tf_arr, pdta in zip(tfs, rows["posdata"]):
-            o, f_ = codec.decode_positions(tf_arr, pdta)
-            offs.append(o[:-1] + carry if len(o) > 1 else o[:0] + carry)
-            carry += int(o[-1]) if len(o) else 0
-            flats.append(f_)
-        offs.append(np.array([carry], dtype=np.int64))
-        pos_offsets = np.concatenate(offs) if offs else np.zeros(1, dtype=np.int64)
-        pos_flat = np.concatenate(flats) if flats else _EMPTY
-    return _TermData(
-        np.concatenate(ids) if ids else _EMPTY,
-        np.concatenate(tfs) if tfs else _EMPTY,
-        np.concatenate(dls) if dls else _EMPTY,
-        pos_offsets,
-        pos_flat,
-        float(rows["idf"].iloc[0]),
-    )
+        # per-posting position counts == tfs (no separate poslens stream);
+        # per-posting delta chains restart absolute, so one decode suffices
+        pos_offsets, pos_flat = codec.decode_positions(tfs, b"".join(rows["posdata"]))
+    return _TermData(ids, tfs, dls, pos_offsets, pos_flat, float(rows["idf"].iloc[0]))
 
 
 def _union_add(ids_a, sc_a, ids_b, sc_b):
@@ -533,6 +547,48 @@ class _Evaluator:
             return self._eval_bool(node)
         raise TypeError(f"unknown node {type(node)}")
 
+    # adjusted positions are packed into the low 32 key bits with this
+    # offset so (pos - slot_index) stays non-negative; windows/equality are
+    # differences, so the offset cancels everywhere it is consumed
+    _POS_OFF = np.int64(1 << 12)
+
+    def _slot_keys(
+        self, tds: list[_TermData], si: int, cand: np.ndarray, dls: np.ndarray
+    ) -> np.ndarray:
+        """Sorted int64 keys ``doc_index << 32 | (pos - si + _POS_OFF)`` for
+        every occurrence of slot ``si``'s terms in candidate docs — fully
+        vectorized (segment gather of the per-posting position runs)."""
+        parts = []
+        for td in tds:
+            j = np.searchsorted(cand, td.ids)
+            jc = np.minimum(j, len(cand) - 1)
+            sel = np.flatnonzero(cand[jc] == td.ids)
+            if not len(sel):
+                continue
+            doc_idx = j[sel]
+            dls[doc_idx] = td.dls[sel]
+            starts = td.pos_offsets[sel]
+            lens = td.pos_offsets[sel + 1] - starts
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            gather = np.repeat(
+                starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+            ) + np.arange(total, dtype=np.int64)
+            pos = td.pos_flat[gather]
+            docr = np.repeat(doc_idx.astype(np.int64), lens)
+            parts.append((docr << 32) | (pos - si + self._POS_OFF))
+        if not parts:
+            return _EMPTY
+        if len(parts) == 1:
+            # ascending by construction (docs, then pos); dedupe stacked
+            # tokens at one position (oracle semantics: positions are a set)
+            k = parts[0]
+            if len(k) > 1:
+                k = k[np.concatenate(([True], k[1:] != k[:-1]))]
+            return k
+        return np.unique(np.concatenate(parts))
+
     def _eval_phrase(self, node: qp.PhraseNode) -> tuple[np.ndarray, np.ndarray]:
         # candidate docs: intersection over slots of (union of slot terms)
         slot_tds: list[list[_TermData]] = []
@@ -550,26 +606,39 @@ class _Evaluator:
             if len(cand) == 0:
                 return _EMPTY, _EMPTY
             slot_tds.append(tds)
-        # per-candidate positional check
-        freqs = np.zeros(len(cand))
         dls = np.zeros(len(cand), dtype=np.int64)
-        for ci, doc in enumerate(cand):
-            slot_positions = []
-            ok = True
-            for si, tds in enumerate(slot_tds):
-                merged = None
-                for td in tds:
-                    j = np.searchsorted(td.ids, doc)
-                    if j < len(td.ids) and td.ids[j] == doc:
-                        p = td.pos_flat[td.pos_offsets[j]:td.pos_offsets[j + 1]] - si
-                        merged = p if merged is None else np.union1d(merged, p)
-                        dls[ci] = td.dls[j]
-                if merged is None or len(merged) == 0:
-                    ok = False
+        slot_keys = [
+            self._slot_keys(tds, si, cand, dls) for si, tds in enumerate(slot_tds)
+        ]
+        if node.slop <= 0:
+            # exact: one sorted-set intersection chain over (doc, pos) keys
+            acc = slot_keys[0]
+            for keys in slot_keys[1:]:
+                if not len(acc):
                     break
-                slot_positions.append(np.unique(merged) if len(tds) > 1 else merged)
-            if ok:
-                freqs[ci] = scoring.phrase_freq(slot_positions, node.slop)
+                acc = np.intersect1d(acc, keys, assume_unique=True)
+            freqs = np.bincount(
+                (acc >> 32).astype(np.int64), minlength=len(cand)
+            ).astype(np.float64)
+        else:
+            # sloppy: per-doc advance-min window algorithm; per-doc slices
+            # come from two vectorized searchsorteds per slot
+            freqs = np.zeros(len(cand))
+            ranges = np.arange(len(cand) + 1, dtype=np.int64) << 32
+            bounds = [
+                (keys, np.searchsorted(keys, ranges[:-1]), np.searchsorted(keys, ranges[1:]))
+                for keys in slot_keys
+            ]
+            mask32 = np.int64(0xFFFFFFFF)
+            for ci in range(len(cand)):
+                slot_positions = []
+                for keys, lo, hi in bounds:
+                    if hi[ci] <= lo[ci]:
+                        slot_positions = None
+                        break
+                    slot_positions.append(keys[lo[ci]:hi[ci]] & mask32)
+                if slot_positions is not None:
+                    freqs[ci] = scoring.phrase_freq(slot_positions, node.slop)
         hit = freqs > 0
         ids = cand[hit]
         if not self.scored:
@@ -646,9 +715,25 @@ def run_categories(
     if not term_cats:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
+    # categories are evaluated in CHUNKS: one task per (chunk, band) runs
+    # every category of the chunk against a SHARED decoded-term cache, so a
+    # term needed by many categories ships once per chunk (not once per
+    # category) and decodes once per task.  chunk count keeps chunk × band
+    # parallelism comfortably above the executor count.
+    sorted_cids = sorted(compiled)
+    chunk_size = max(1, int(config.eval_chunk_size))
+    chunk_of = {cid: i // chunk_size for i, cid in enumerate(sorted_cids)}
+    chunk_cids: dict[int, list[str]] = {}
+    for cid, ch in chunk_of.items():
+        chunk_cids.setdefault(ch, []).append(cid)
+
+    term_chunks = {
+        (f, t, ch)
+        for (f, t), cids in term_cats.items()
+        for ch in {chunk_of[c] for c in cids}
+    }
     terms_df = spark.createDataFrame(
-        [(f, t, cid) for (f, t), cids in term_cats.items() for cid in cids],
-        ["field", "term", "category_id"],
+        sorted(term_chunks), ["field", "term", "chunk"]
     )
     # bucket pruning: buckets hosting the needed terms — known from the
     # dictionary fetch in compile_queries (no extra job); terms absent from
@@ -665,14 +750,16 @@ def run_categories(
     compiled_b = spark.sparkContext.broadcast(compiled)
     virtual_b = spark.sparkContext.broadcast(virtual)
     df_map_b = spark.sparkContext.broadcast(df_map)
+    chunk_cids_b = spark.sparkContext.broadcast(chunk_cids)
     band_bits = max(config.n_eval_bands - 1, 0).bit_length()
 
     def eval_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        cid, band = key[0], int(key[1])
-        node = compiled_b.value[cid]
-        needs_pos = _node_has_phrase(node)
+        chunk, band = int(key[0]), int(key[1])
+        cids = chunk_cids_b.value[chunk]
+        nodes = {cid: compiled_b.value[cid] for cid in cids}
+        needs_pos = any(_node_has_phrase(n) for n in nodes.values())
         rows_by_term: dict[tuple[str, str], pd.DataFrame] = {
-            (fld, trm): rows.sort_values(["salt", "blk_seq"])
+            (fld, trm): rows
             for (fld, trm), rows in pdf.groupby(["field", "term"], sort=False)
         }
         virt = {}
@@ -687,16 +774,20 @@ def run_categories(
         ev = _Evaluator(
             rows_by_term, virt, df_map_b.value, n_docs, k1, b, avgdl, scored, needs_pos
         )
-        if top_k is not None and scored:
-            # per-band block-max top-k (global top-k reduced afterwards)
-            ids, sc = ev.eval_topk(node, top_k)
-        else:
-            ids, sc = ev.eval(node)
-            if top_k is not None:
-                ids, sc = _partial_topk(ids, sc, top_k)
-        return pd.DataFrame({"category_id": cid, "doc_id": ids, "score": sc})
+        frames = []
+        for cid in cids:
+            node = nodes[cid]
+            if top_k is not None and scored:
+                # per-band block-max top-k (global top-k reduced afterwards)
+                ids, sc = ev.eval_topk(node, top_k)
+            else:
+                ids, sc = ev.eval(node)
+                if top_k is not None:
+                    ids, sc = _partial_topk(ids, sc, top_k)
+            frames.append(pd.DataFrame({"category_id": cid, "doc_id": ids, "score": sc}))
+        return pd.concat(frames, ignore_index=True)
 
-    results = tagged.groupBy("category_id", "band").applyInPandas(eval_group, RESULT_SCHEMA)
+    results = tagged.groupBy("chunk", "band").applyInPandas(eval_group, RESULT_SCHEMA)
 
     if top_k is not None:
         from pyspark.sql import Window

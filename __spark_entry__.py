@@ -35,7 +35,7 @@ from ds_discovery_opensearch_taxonomy_spark.operators.search import run_categori
 #: `text`; n_chars queryable as a numeric range field)
 DOCS_CONFIG = EngineConfig(
     fields=(FieldSpec("textnocasnopunc", "textnocasnopunc", ("text",)),),
-    int_fields=("n_chars",),
+    int_fields=("n_chars", "NUM_START_DATE"),
     n_term_buckets=2,
     salt_target_postings=100_000,
     n_eval_bands=1,
@@ -56,9 +56,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _engine(spark: SparkSession, sf_dir: str) -> TaxonomyEngine:
     if sf_dir not in _ENGINES:
-        key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        key = hashlib.sha1((sf_dir + ":v2").encode()).hexdigest()[:10]
         idx = Path("/root/repo/.scratch") / f"entry_index_{key}"
-        corpus = _docs(spark, sf_dir)
+        # NUM_START_DATE: deterministic yyyymmdd derived from doc_id so the
+        # reference's date-rewrite query path (Q7) is exercisable + SQL-oracled
+        corpus = _docs(spark, sf_dir).withColumn(
+            "NUM_START_DATE",
+            (F.lit(19000101) + (F.col("doc_id") % 120) * 10000).cast("int"),
+        )
         build_index(spark, corpus, str(idx), DOCS_CONFIG, resume=True)
         _ENGINES[sf_dir] = TaxonomyEngine(spark, str(idx), DOCS_CONFIG)
     return _ENGINES[sf_dir]
@@ -118,6 +123,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_numeric_range(spark, sf):  # Q6/I4 int-range over doc metadata
         return _run(spark, sf, '"table" AND n_chars:[200 TO 400]').select("doc_id")
+
+    def q_term_range(spark, sf):  # Q5 string term range via dictionary
+        return _run(spark, sf, "[win TO wing]").select("doc_id")
+
+    def q_date_rewrite(spark, sf):  # Q7 START_DATE:{...} pre-parse rewrite
+        return _run(spark, sf, '"table" AND START_DATE:{1980-01-01 TO *}').select(
+            "doc_id"
+        )
+
+    def q_id_conjunction(spark, sf):  # Q9 id AND query (candidate set = ids)
+        return (
+            _run(spark, sf, '"table"', scored=True)
+            .where(F.col("doc_id").isin([5, 6, 7, 8, 9]))
+            .select("doc_id", F.round("score", 4).alias("score"))
+        )
+
+    def q_search_filtered(spark, sf):  # Q13/R6 non-scoring filter context
+        eng = _engine(spark, sf)
+        return eng.search('"spark"', min_score=0.3, limit=12, filters={"lang": ["en"]}).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    def q_search_sorted(spark, sf):  # R11 metadata sort replaces relevance
+        eng = _engine(spark, sf)
+        return eng.search(
+            '"vector"', limit=12, sort_by=[("n_chars", False)]
+        ).select("doc_id", "n_chars")
 
     def q_bm25_topk(spark, sf):  # R4/R5 scored top-k, rank-identical BM25
         return (
@@ -240,6 +272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_match_phrase": q_match_phrase,
         "q_match_phrase_slop": q_match_phrase_slop,
         "q_wildcard": q_wildcard,
+        "q_term_range": q_term_range,
+        "q_date_rewrite": q_date_rewrite,
+        "q_id_conjunction": q_id_conjunction,
+        "q_search_filtered": q_search_filtered,
+        "q_search_sorted": q_search_sorted,
         "q_numeric_range": q_numeric_range,
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_scores_all": q_bm25_scores_all,
@@ -331,6 +368,32 @@ WITH d2 AS (
         "q_numeric_range": f"""
             SELECT doc_id FROM documents
             WHERE list_contains({tok}, 'table') AND n_chars BETWEEN 200 AND 400
+        """,
+        "q_term_range": f"""
+            SELECT doc_id FROM documents
+            WHERE len(list_filter({tok}, x -> x >= 'win' AND x <= 'wing')) > 0
+        """,
+        "q_date_rewrite": f"""
+            SELECT doc_id FROM documents
+            WHERE list_contains({tok}, 'table')
+              AND (19000101 + (doc_id % 120) * 10000) >= 19800101
+        """,
+        "q_id_conjunction": bm25(
+            ["table"],
+            "SELECT doc_id, round(score, 4) AS score FROM scores "
+            "WHERE doc_id IN (5, 6, 7, 8, 9)",
+        ),
+        "q_search_filtered": bm25(
+            ["spark"],
+            "SELECT doc_id, round(score, 4) AS score FROM scores "
+            "JOIN documents USING (doc_id) "
+            "WHERE lang = 'en' AND score >= 0.3 "
+            "ORDER BY score DESC, doc_id LIMIT 12",
+        ),
+        "q_search_sorted": f"""
+            SELECT doc_id, n_chars FROM documents
+            WHERE list_contains({tok}, 'vector')
+            ORDER BY n_chars DESC, doc_id LIMIT 12
         """,
         "q_bm25_topk": bm25(
             ["table", "window"],

@@ -142,18 +142,44 @@ class TaxonomyEngine:
         min_score: float = 0.0,
         limit: int = 10,
         offset: int = 0,
+        filters: dict[str, list] | None = None,
+        sort_by: list[tuple[str, bool]] | None = None,
     ) -> DataFrame:
-        """Ad-hoc scored search with pagination (R8)."""
-        res = search_ops.run_categories(
-            self.spark,
-            self.reader,
-            [("__q", query_text)],
-            scored=True,
-            top_k=offset + limit,
-        )
+        """Ad-hoc scored search with pagination (R8).
+
+        ``filters`` is the non-scoring filter context — column -> allowed
+        values over docs metadata, applied BEFORE the top-k cut (mirrors the
+        reference's HELD_BY_CODE TermsQuery in filter context,
+        OpenSearchConnection.cs:289-299 + Must/Filter split :393-402).
+        ``sort_by`` is [(docs-metadata column, ascending)] replacing the
+        relevance order (reference SetSortOrder, OpenSearchConnection.cs:304-320)."""
+        if filters:
+            res = search_ops.run_categories(
+                self.spark, self.reader, [("__q", query_text)], scored=True
+            )
+            allowed = self.reader.docs()
+            for col, vals in filters.items():
+                allowed = allowed.where(F.col(col).isin(list(vals)))
+            res = res.join(allowed.select("doc_id"), "doc_id", "semi")
+        else:
+            res = search_ops.run_categories(
+                self.spark,
+                self.reader,
+                [("__q", query_text)],
+                scored=True,
+                top_k=None if sort_by else offset + limit,
+            )
+        res = res.where(F.col("score") >= min_score)
+        if sort_by:
+            res = res.join(self.reader.docs(), "doc_id")
+            order = [
+                (F.asc(c) if asc else F.desc(c)) for c, asc in sort_by
+            ] + [F.asc("doc_id")]
+            return res.orderBy(*order).limit(offset + limit).select(
+                "category_id", "doc_id", "score", *[c for c, _ in sort_by]
+            )
         return (
-            res.where(F.col("score") >= min_score)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            res.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(offset + limit)
         )
 

@@ -233,6 +233,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", "cosine"
         )
 
+    def q_similarity_ivf(spark, sf):  # IVF ANN; nprobe == n_cells => exact
+        e = _emb(spark, sf)
+        qs = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ivf_topk(
+            e, qs, k=5, n_cells=8, nprobe=8
+        ).select("query_id", "vec_id", "cosine")
+
     def q_similarity_lsh(spark, sf):  # LSH-bucketed ANN (engine-only)
         e = _emb(spark, sf)
         qs = e.where(F.col("vec_id") < 3).select(
@@ -290,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
         "q_similarity_bruteforce": q_similarity_bruteforce,
+        "q_similarity_ivf": q_similarity_ivf,
         "q_similarity_lsh": q_similarity_lsh,
         "q_token_counts": q_token_counts,
         "q_quality": q_quality,
@@ -453,6 +463,21 @@ WITH d2 AS (
             JOIN sizes na ON na.doc_id = a
             JOIN sizes nb ON nb.doc_id = b
             WHERE shared / (na.n + nb.n - shared) >= 0.999
+        """,
+        "q_similarity_ivf": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS c
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, c,
+                     row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS r
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(c, 6) AS cosine FROM ranked WHERE r <= 5
         """,
         "q_similarity_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -96,6 +96,12 @@ class EngineConfig:
     #: FullReindexCategoriser.cs:87-213); each commits independently.
     build_parallelism: int = 4
 
+    #: broadcast the per-bucket dictionary into the postings-build join
+    #: (removes a shuffle + an AQE round-trip per bucket job).  Keep True
+    #: while a bucket's dictionary fits an executor (~10^6-10^7 terms);
+    #: set False at full vocabulary scale to fall back to a shuffled join.
+    broadcast_dictionary: bool = True
+
     def field_spec(self, name: str) -> FieldSpec | None:
         for f in self.fields:
             if f.name == name:

@@ -116,7 +116,7 @@ class TaxonomyEngine:
         pulled from the index (df from the dictionary, N/avgdl from
         doc_stats) so single-doc scores match the batch path."""
         pairs = self._category_pairs(subset)
-        compiled, virtual, df_map, _buckets = search_ops.compile_queries(
+        compiled, virtual, df_map, _buckets, _tids = search_ops.compile_queries(
             self.reader, pairs, self.config
         )
         out = []

@@ -131,7 +131,7 @@ def minhash_lsh_pairs(
                         lambda eq: eq,
                     )
                 )
-                / F.lit(float(len(sig.select("sig").first()["sig"])))
+                / F.lit(float(num_hashes))
             ).alias("est_jaccard"),
         )
     )

@@ -37,10 +37,19 @@ from ds_discovery_opensearch_taxonomy_spark.functions import analysis, codec, sc
 from ds_discovery_opensearch_taxonomy_spark.sources.catalog import IndexCatalog
 from ds_discovery_opensearch_taxonomy_spark.sources.corpus import with_doc_ids
 
+#: Staged postings are NUMERIC per row — measured on this box the per-token
+#: string objects (field/term per posting) made the whole stage memory-
+#: bandwidth-bound: 8 and 32 cores ran it in the same wall time.  The term
+#: STRING is emitted only on its first occurrence per chunk (mostly-null
+#: column, RLE'd to ~vocabulary size); ``term_id`` is a memoized 64-bit
+#: blake2b of (field, term) computed in the tokenizer, and ``ford`` is the
+#: field's ordinal in config.fields.  The dictionary stage recovers the
+#: strings with max() aggs (declarative -> whole-stage codegen).
 TOKENS_SCHEMA = T.StructType(
     [
-        T.StructField("field", T.StringType(), False),
-        T.StructField("term", T.StringType(), False),
+        T.StructField("term_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), True),
+        T.StructField("ford", T.IntegerType(), False),
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("tf", T.IntegerType(), False),
         T.StructField("dl", T.IntegerType(), False),
@@ -52,10 +61,29 @@ TOKENS_SCHEMA = T.StructType(
     ]
 )
 
+
+def term_id_of(field: str, term: str) -> int:
+    """64-bit id of a (field, term) pair — signed int64 (blake2b-8).
+    Collision risk is over the VOCABULARY (~n²/2⁶⁵); swap to a 128-bit
+    two-column id beyond ~10⁸ distinct terms."""
+    import hashlib
+
+    digest = hashlib.blake2b(
+        f"{field}\x00{term}".encode(), digest_size=8
+    ).digest()
+    return int.from_bytes(digest, "big", signed=True)
+
+#: posting blocks are keyed by ``term_id = xxhash64(field, term)`` — the
+#: heavy build/query paths stay ALL-NUMERIC (term strings live only in the
+#: dictionary table, which wildcard/range scans read).  String columns in
+#: Arrow/pandas hops cost ~1-2 µs/value and saturate memory bandwidth at
+#: tens of millions of postings; numeric keys also shrink the postings
+#: table and push down as long filters.  64-bit id collision risk is
+#: ~n²/2⁶⁵ over the vocabulary (not the corpus) — swap to a 128-bit pair
+#: at >10⁸ distinct terms.
 BLOCKS_SCHEMA = T.StructType(
     [
-        T.StructField("field", T.StringType(), False),
-        T.StructField("term", T.StringType(), False),
+        T.StructField("term_id", T.LongType(), False),
         T.StructField("salt", T.IntegerType(), False),
         T.StructField("band", T.IntegerType(), False),
         T.StructField("blk_seq", T.IntegerType(), False),
@@ -83,41 +111,60 @@ def tokenize_corpus(corpus: DataFrame, config: EngineConfig) -> DataFrame:
     shuffle downstream is the term-bucket staging write."""
     specs = [(f.name, f.analyzer, list(f.source_columns)) for f in config.fields]
 
+    chunk = 1024  # docs per emitted frame — bounds per-worker memory
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # (field, term) -> term_id, process-lifetime memo (worker reuse)
+        tid_memo: dict[tuple[int, str], int] = {}
         for pdf in batches:
-            out_field, out_term, out_doc = [], [], []
-            out_tf, out_dl, out_pos = [], [], []
-            doc_ids = pdf["doc_id"].to_numpy()
-            for fname, analyzer, cols in specs:
-                col_arrays = [pdf[c].astype(str).to_numpy() for c in cols]
-                for i in range(len(pdf)):
-                    text = " ".join(a[i] for a in col_arrays)
-                    toks = analysis.analyze(analyzer, text)
-                    if not toks:
-                        continue
-                    per_term: dict[str, list[int]] = {}
-                    for term, pos in toks:
-                        per_term.setdefault(term, []).append(pos)
-                    dl = len(toks)
-                    did = int(doc_ids[i])
-                    for term, poss in per_term.items():
-                        out_field.append(fname)
-                        out_term.append(term)
-                        out_doc.append(did)
-                        out_tf.append(len(poss))
-                        out_dl.append(dl)
-                        out_pos.append(poss)
-            yield pd.DataFrame(
-                {
-                    "field": out_field,
-                    "term": out_term,
-                    "doc_id": out_doc,
-                    "tf": out_tf,
-                    "dl": out_dl,
-                    # one vectorized codec pass for the whole Arrow batch
-                    "pos_bytes": codec.encode_position_lists(out_pos),
-                }
-            )
+            for lo in range(0, len(pdf), chunk):
+                sub = pdf.iloc[lo:lo + chunk]
+                out_tid, out_term, out_ford, out_doc = [], [], [], []
+                out_tf, out_dl, out_pos = [], [], []
+                seen_chunk: set[int] = set()
+                doc_ids = sub["doc_id"].to_numpy()
+                for ford, (fname, analyzer, cols) in enumerate(specs):
+                    col_arrays = [sub[c].astype(str).to_numpy() for c in cols]
+                    for i in range(len(sub)):
+                        text = " ".join(a[i] for a in col_arrays)
+                        toks = analysis.analyze(analyzer, text)
+                        if not toks:
+                            continue
+                        per_term: dict[str, list[int]] = {}
+                        for term, pos in toks:
+                            per_term.setdefault(term, []).append(pos)
+                        dl = len(toks)
+                        did = int(doc_ids[i])
+                        for term, poss in per_term.items():
+                            mkey = (ford, term)
+                            tid = tid_memo.get(mkey)
+                            if tid is None:
+                                tid = term_id_of(fname, term)
+                                tid_memo[mkey] = tid
+                            out_tid.append(tid)
+                            # term string ships ONCE per chunk (null rest)
+                            if tid in seen_chunk:
+                                out_term.append(None)
+                            else:
+                                seen_chunk.add(tid)
+                                out_term.append(term)
+                            out_ford.append(ford)
+                            out_doc.append(did)
+                            out_tf.append(len(poss))
+                            out_dl.append(dl)
+                            out_pos.append(poss)
+                yield pd.DataFrame(
+                    {
+                        "term_id": np.array(out_tid, dtype=np.int64),
+                        "term": out_term,
+                        "ford": np.array(out_ford, dtype=np.int32),
+                        "doc_id": np.array(out_doc, dtype=np.int64),
+                        "tf": np.array(out_tf, dtype=np.int32),
+                        "dl": np.array(out_dl, dtype=np.int32),
+                        # one vectorized codec pass for the whole chunk
+                        "pos_bytes": codec.encode_position_lists(out_pos),
+                    }
+                )
 
     cols = {c for f in config.fields for c in f.source_columns}
     return corpus.select("doc_id", *sorted(cols)).mapInPandas(run, TOKENS_SCHEMA)
@@ -142,28 +189,28 @@ def _build_blocks_batch(
     band_bits: int,
 ) -> pd.DataFrame:
     """Vectorized block construction for a batch of COMPLETE
-    (field, term, salt) groups, already sorted by (field, term, salt,
-    doc_id).  Every codec pass runs ONCE over the whole batch; per-block
-    blobs are byte-slices of the batch-level varbyte streams (boundaries
-    from per-value end offsets).  Cost: O(postings) numpy + O(blocks)
-    python tuple assembly."""
+    (term_id, salt) groups, already sorted by (term_id, salt, doc_id).
+    Every codec pass runs ONCE over the whole batch; per-block blobs are
+    byte-slices of the batch-level varbyte streams (boundaries from
+    per-value end offsets).  All-numeric frame: no string columns cross
+    the Arrow boundary.  Cost: O(postings) numpy + O(blocks) python
+    tuple assembly."""
     n = len(pdf)
-    fld = pdf["field"].to_numpy()
-    trm = pdf["term"].to_numpy()
+    tid = pdf["term_id"].to_numpy().astype(np.int64)
     slt = pdf["salt"].to_numpy().astype(np.int64)
     doc_ids = pdf["doc_id"].to_numpy()
     tfs = pdf["tf"].to_numpy().astype(np.int64)
     dls = pdf["dl"].to_numpy().astype(np.int64)
     dfs = pdf["df"].to_numpy().astype(np.int64)
+    # avgdl by field ordinal (field_of_tid maps term_id -> ordinal)
+    ford = pdf["ford"].to_numpy().astype(np.int64)
     pos_bytes = pdf["pos_bytes"].to_numpy(dtype=object)
     bands = _band_of(doc_ids, band_bits)
 
     idx = np.arange(n, dtype=np.int64)
     group_change = np.empty(n, dtype=bool)
     group_change[0] = True
-    group_change[1:] = (
-        (fld[1:] != fld[:-1]) | (trm[1:] != trm[:-1]) | (slt[1:] != slt[:-1])
-    )
+    group_change[1:] = (tid[1:] != tid[:-1]) | (slt[1:] != slt[:-1])
     gb_change = group_change.copy()
     gb_change[1:] |= bands[1:] != bands[:-1]
     anchor = np.maximum.accumulate(np.where(gb_change, idx, 0))
@@ -200,7 +247,7 @@ def _build_blocks_batch(
     pos_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(pos_lens, out=pos_off[1:])
 
-    av = np.array([avgdl[f] for f in fld], dtype=np.float64)
+    av = avgdl[ford]
     idfs = scoring.idf(dfs.astype(np.float64), n_docs)
     scores = idfs * scoring.tf_norm(tfs.astype(float), dls.astype(float), av, k1, b)
     ubs = np.maximum.reduceat(scores, starts)
@@ -210,8 +257,7 @@ def _build_blocks_batch(
     le = np.concatenate([[0], dl_ends])
     rows = [
         (
-            fld[s],
-            trm[s],
+            int(tid[s]),
             int(slt[s]),
             int(bands[s]),
             int(blk_seq[bi]),
@@ -233,17 +279,18 @@ def _build_blocks_batch(
 
 def make_block_builder(
     n_docs: float,
-    avgdl: dict[str, float],
+    avgdl: np.ndarray,
     k1: float,
     b: float,
     block_size: int,
     band_bits: int,
 ):
-    """Returns a mapInPandas function that streams sorted (field, term,
-    salt, doc_id) rows and emits posting blocks.  Groups split across Arrow
-    batches are carried to the next batch, so each group is built whole;
-    per-batch work is vectorized (no per-group UDF dispatch — this replaced
-    an applyInPandas that spent ~2.5 ms/group on Arrow plumbing alone)."""
+    """Returns a mapInPandas function that streams sorted (term_id, salt,
+    doc_id) rows and emits posting blocks.  ``avgdl`` is indexed by field
+    ordinal (the ``ford`` column).  Groups split across Arrow batches are
+    carried to the next batch, so each group is built whole; per-batch
+    work is vectorized (no per-group UDF dispatch — this replaced an
+    applyInPandas that spent ~2.5 ms/group on Arrow plumbing alone)."""
 
     def run(batches):
         carry: pd.DataFrame | None = None
@@ -253,14 +300,11 @@ def make_block_builder(
                 carry = None
             if not len(pdf):
                 continue
-            fld = pdf["field"].to_numpy()
-            trm = pdf["term"].to_numpy()
+            tid = pdf["term_id"].to_numpy()
             slt = pdf["salt"].to_numpy()
             change = np.empty(len(pdf), dtype=bool)
             change[0] = True
-            change[1:] = (
-                (fld[1:] != fld[:-1]) | (trm[1:] != trm[:-1]) | (slt[1:] != slt[:-1])
-            )
+            change[1:] = (tid[1:] != tid[:-1]) | (slt[1:] != slt[:-1])
             last_start = int(np.flatnonzero(change)[-1])
             if last_start == 0:
                 carry = pdf  # single (possibly continuing) group — hold it
@@ -313,14 +357,14 @@ def build_index(
     if not cat.stage_done("staging"):
         tokens = tokenize_corpus(corpus_with_ids, config)
         staged = tokens.withColumn(
-            "bucket", F.pmod(F.xxhash64("field", "term"), F.lit(config.n_term_buckets))
+            "bucket", F.pmod(F.col("term_id"), F.lit(config.n_term_buckets))
         )
         stg_obs = Observation("staging")
         staged = staged.observe(
             stg_obs,
             *[
-                F.sum(F.when(F.col("field") == fn, F.col("tf")).otherwise(0)).alias(fn)
-                for fn in field_names
+                F.sum(F.when(F.col("ford") == i, F.col("tf")).otherwise(0)).alias(fn)
+                for i, fn in enumerate(field_names)
             ],
         )
         cat.write(staged, IndexCatalog.STAGING, partition_by=["bucket"])
@@ -331,6 +375,8 @@ def build_index(
         )
 
     # -- stage 3: per-field doc stats (N, avgdl) — tiny driver-built table --
+    # 4 rows: written directly with pyarrow (a Spark job for this pays the
+    # python-RDD createDataFrame warmup for nothing; Spark reads it fine)
     if not cat.stage_done("doc_stats"):
         sum_dl = cat.manifest()["stages"]["staging"]["metrics"].get("sum_dl")
         if sum_dl is None:  # resumed from an older staging commit
@@ -339,27 +385,63 @@ def build_index(
                 r["field"]: int(r["s"])
                 for r in staged.groupBy("field").agg(F.sum("tf").alias("s")).collect()
             }
-        stats = spark.createDataFrame(
-            [
-                (fn, int(sum_dl.get(fn, 0)), n_docs, sum_dl.get(fn, 0) / n_docs if n_docs else 1.0)
-                for fn in field_names
-            ],
-            "field string, sum_dl long, n_docs long, avgdl double",
-        ).coalesce(1)
-        cat.write(stats, IndexCatalog.DOC_STATS)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pathlib import Path as _Path
+
+        tbl = pa.table(
+            {
+                "field": pa.array(field_names, pa.string()),
+                "sum_dl": pa.array([int(sum_dl.get(fn, 0)) for fn in field_names], pa.int64()),
+                "n_docs": pa.array([n_docs] * len(field_names), pa.int64()),
+                "avgdl": pa.array(
+                    [sum_dl.get(fn, 0) / n_docs if n_docs else 1.0 for fn in field_names],
+                    pa.float64(),
+                ),
+            }
+        )
+        stats_dir = _Path(cat.path(IndexCatalog.DOC_STATS))
+        stats_dir.mkdir(parents=True, exist_ok=True)
+        pq.write_table(tbl, stats_dir / "part-00000.parquet")
         cat.commit_stage("doc_stats")
 
     stats_rows = spark.read.parquet(cat.path(IndexCatalog.DOC_STATS)).collect()
     avgdl = {r["field"]: float(r["avgdl"]) for r in stats_rows}
     band_bits = max(config.n_eval_bands - 1, 0).bit_length()
 
-    # -- stage 4: per-bucket dictionary + postings build (resumable loop) ---
-    # one Spark job chain per bucket; the bucket's df/cf dictionary is
-    # aggregated from its own staging slice and committed atomically with
-    # its postings (the global dictionary is the union of bucket partitions);
-    # metrics come from Observation (no read-back pass)
+    # -- stage 4: dictionary (df/cf), ONE job for every bucket --------------
+    # numeric groupBy; the term string (shipped once per tokenizer chunk,
+    # null elsewhere) is recovered with max() — a declarative agg, so the
+    # whole stage codegens (first() would force ObjectHashAggregate)
+    if not cat.stage_done("dictionary"):
+        staged = spark.read.parquet(cat.path(IndexCatalog.STAGING))
+        dictionary = (
+            staged.groupBy("bucket", "term_id")
+            .agg(
+                F.count("*").alias("df"),
+                F.sum("tf").alias("cf"),
+                F.max("term").alias("term"),
+                F.max("ford").alias("ford"),
+            )
+            .withColumn(
+                "field",
+                F.element_at(
+                    F.array(*[F.lit(fn) for fn in field_names]), F.col("ford") + 1
+                ),
+            )
+        )
+        # align writers to buckets: without this every reducer task opens a
+        # file per bucket (tasks × buckets small files — measurably slower
+        # than the extra narrow exchange)
+        dictionary = dictionary.repartition(2 * config.n_term_buckets, "bucket")
+        cat.write(dictionary, IndexCatalog.DICTIONARY, partition_by=["bucket"])
+        cat.commit_stage("dictionary")
+
+    # -- stage 5: per-bucket postings build (resumable loop) ----------------
+    # one Spark job per bucket; metrics come from Observation (no read-back)
+    avgdl_ord = np.array([avgdl.get(fn, 1.0) for fn in field_names], dtype=np.float64)
     builder = make_block_builder(
-        float(n_docs), avgdl, config.k1, config.b, config.block_size, band_bits
+        float(n_docs), avgdl_ord, config.k1, config.b, config.block_size, band_bits
     )
     done = cat.committed_buckets()
     todo = [b for b in range(config.n_term_buckets) if b not in done]
@@ -368,29 +450,32 @@ def build_index(
         from concurrent.futures import ThreadPoolExecutor
 
         staged_all = spark.read.parquet(cat.path(IndexCatalog.STAGING))
+        dict_all = cat.read(spark, IndexCatalog.DICTIONARY)
+        terms_per_bucket = {
+            int(r["bucket"]): int(r["n"])
+            for r in dict_all.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
         max_bits = int(math.log2(config.max_salts))
         manifest_lock = threading.Lock()
 
         def do_bucket(bucket: int) -> None:
-            staged_b = staged_all.where(F.col("bucket") == bucket)
-            dict_df = staged_b.groupBy("field", "term").agg(
-                F.count("*").alias("df"), F.sum("tf").alias("cf")
+            # ALL-NUMERIC from here on: parquet column pruning drops the
+            # field/term string columns of staging; df + field ordinal come
+            # from the (term_id-keyed) dictionary join
+            staged_b = staged_all.where(F.col("bucket") == bucket).select(
+                "term_id", "doc_id", "tf", "dl", "pos_bytes"
             )
-            dict_obs = Observation(f"dict_{bucket}")
-            cat.write(
-                dict_df.observe(dict_obs, F.count(F.lit(1)).alias("terms")),
-                IndexCatalog.DICTIONARY,
-                bucket=bucket,
+            n_terms = terms_per_bucket.get(bucket, 0)
+            dict_b = dict_all.where(F.col("bucket") == bucket).select(
+                "term_id", "df", "ford"
             )
-            n_terms = int(dict_obs.get["terms"])
-            dict_b = spark.read.parquet(
-                cat.path(IndexCatalog.DICTIONARY, bucket=bucket)
-            ).select("field", "term", "df")
             # salt heavy terms by doc_id top bits — contiguous, signed-order-
             # monotone ranges (top bit flipped), so per-salt posting runs are
             # bounded AND globally mergeable by concatenation
+            if config.broadcast_dictionary:
+                dict_b = F.broadcast(dict_b)
             salted = (
-                staged_b.join(dict_b, ["field", "term"])
+                staged_b.join(dict_b, ["term_id"])
                 .withColumn(
                     "salt_bits",
                     F.least(
@@ -412,10 +497,17 @@ def build_index(
                     ),
                 )
             )
-            n_parts = max(spark.sparkContext.defaultParallelism, 8)
+            # bucket jobs run build_parallelism-wide, so give each a slice
+            # of the cores (over-partitioning every concurrent job to full
+            # cluster width just multiplies small tasks and output files)
+            n_parts = max(
+                spark.sparkContext.defaultParallelism
+                // max(min(config.build_parallelism, len(todo)), 1),
+                8,
+            )
             blocks = (
-                salted.repartition(n_parts, "field", "term", "salt")
-                .sortWithinPartitions("field", "term", "salt", "doc_id")
+                salted.repartition(n_parts, "term_id", "salt")
+                .sortWithinPartitions("term_id", "salt", "doc_id")
                 .mapInPandas(builder, BLOCKS_SCHEMA)
             )
             obs = Observation(f"bucket_{bucket}")

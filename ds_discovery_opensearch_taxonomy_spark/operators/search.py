@@ -180,7 +180,8 @@ def compile_queries(
     Lucene still sums their idf) and bands where a term has no postings.
 
     Returns (compiled nodes by category_id, virtual doc arrays by key,
-    df by (field, term), hosting bucket by (field, term))."""
+    df by (field, term), hosting bucket by (field, term), term_id by
+    (field, term) — postings are keyed by the numeric term_id)."""
     config = config or reader.config
     cache_key = (tuple(categories), config)
     cached = reader.compile_cache.get(cache_key)
@@ -247,17 +248,19 @@ def compile_queries(
         all_terms |= needed_terms(node)
     df_map: dict[tuple[str, str], int] = {}
     bucket_map: dict[tuple[str, str], int] = {}
+    tid_map: dict[tuple[str, str], int] = {}
     if all_terms:
         tdf = reader.spark.createDataFrame(sorted(all_terms), ["field", "term"])
         rows = (
             reader.dictionary()
             .join(F.broadcast(tdf), ["field", "term"], "inner")
-            .select("field", "term", "df", "bucket")
+            .select("field", "term", "df", "bucket", "term_id")
             .collect()
         )
         df_map = {(r["field"], r["term"]): int(r["df"]) for r in rows}
         bucket_map = {(r["field"], r["term"]): int(r["bucket"]) for r in rows}
-    out = (compiled, virtual, df_map, bucket_map)
+        tid_map = {(r["field"], r["term"]): int(r["term_id"]) for r in rows}
+    out = (compiled, virtual, df_map, bucket_map, tid_map)
     reader.compile_cache[cache_key] = out
     return out
 
@@ -376,9 +379,13 @@ class _Evaluator:
     their decode cost."""
 
     def __init__(self, rows_by_term: dict, virtual: dict, df_map: dict, n_docs: float,
-                 k1: float, b: float, avgdl: dict, scored: bool, needs_pos: bool):
-        self.rows_by_term = rows_by_term  # (field, term) -> sorted block rows pdf
-        self.terms: dict = {}  # decode cache: (field, term) -> _TermData
+                 k1: float, b: float, avgdl: dict, scored: bool, needs_pos: bool,
+                 tid_map: dict | None = None):
+        # rows_by_term is keyed by term_id (numeric postings key); tid_map
+        # translates the AST's (field, term) to it
+        self.rows_by_term = rows_by_term
+        self.tid_map = tid_map if tid_map is not None else {}
+        self.terms: dict = {}  # decode cache: term_id -> _TermData
         self.virtual = virtual
         self.df_map = df_map  # (field, term) -> GLOBAL df
         self.n_docs = n_docs
@@ -389,7 +396,9 @@ class _Evaluator:
         self.needs_pos = needs_pos
 
     def _term(self, field: str, term: str) -> _TermData | None:
-        key = (field, term)
+        key = self.tid_map.get((field, term))
+        if key is None:
+            return None
         td = self.terms.get(key)
         if td is None and key in self.rows_by_term:
             td = _decode_rows(self.rows_by_term[key], self.needs_pos)
@@ -398,7 +407,7 @@ class _Evaluator:
 
     def _term_ub(self, field: str, term: str) -> float:
         """Block-max upper bound for one term — from metadata, no decode."""
-        rows = self.rows_by_term.get((field, term))
+        rows = self.rows_by_term.get(self.tid_map.get((field, term)))
         return float(rows["max_score_ub"].max()) if rows is not None else 0.0
 
     def _clause_ub(self, node: qp.Node) -> float:
@@ -495,7 +504,7 @@ class _Evaluator:
         max contribution cannot lift even the best candidate are skipped
         UNDECODED."""
         if isinstance(node, qp.TermNode):
-            rows = self.rows_by_term.get((node.field, node.term))
+            rows = self.rows_by_term.get(self.tid_map.get((node.field, node.term)))
             if rows is None:
                 return _EMPTY, _EMPTY
             lo, hi = int(acc_ids[0]), int(acc_ids[-1])
@@ -706,7 +715,9 @@ def run_categories(
     top-k per category when ``top_k`` is given (ties broken doc_id asc,
     mirroring rank order (score desc, doc_id asc))."""
     config = config or reader.config
-    compiled, virtual, df_map, bucket_map = compile_queries(reader, categories, config)
+    compiled, virtual, df_map, bucket_map, tid_map = compile_queries(
+        reader, categories, config
+    )
 
     term_cats: dict[tuple[str, str], list[str]] = {}
     for cid, node in compiled.items():
@@ -728,13 +739,14 @@ def run_categories(
         chunk_cids.setdefault(ch, []).append(cid)
 
     term_chunks = {
-        (f, t, ch)
+        (tid_map[(f, t)], ch)
         for (f, t), cids in term_cats.items()
+        if (f, t) in tid_map  # absent from dictionary -> no postings anywhere
         for ch in {chunk_of[c] for c in cids}
     }
-    terms_df = spark.createDataFrame(
-        sorted(term_chunks), ["field", "term", "chunk"]
-    )
+    if not term_chunks:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    terms_df = spark.createDataFrame(sorted(term_chunks), ["term_id", "chunk"])
     # bucket pruning: buckets hosting the needed terms — known from the
     # dictionary fetch in compile_queries (no extra job); terms absent from
     # the dictionary have no postings anywhere
@@ -742,7 +754,7 @@ def run_categories(
     if not buckets:
         return spark.createDataFrame([], RESULT_SCHEMA)
     blocks = reader.postings().where(F.col("bucket").isin(buckets))
-    tagged = blocks.join(F.broadcast(terms_df), ["field", "term"])
+    tagged = blocks.join(F.broadcast(terms_df), ["term_id"])
 
     n_docs = float(reader.n_docs)
     avgdl = dict(reader.avgdl)
@@ -750,6 +762,7 @@ def run_categories(
     compiled_b = spark.sparkContext.broadcast(compiled)
     virtual_b = spark.sparkContext.broadcast(virtual)
     df_map_b = spark.sparkContext.broadcast(df_map)
+    tid_map_b = spark.sparkContext.broadcast(tid_map)
     chunk_cids_b = spark.sparkContext.broadcast(chunk_cids)
     band_bits = max(config.n_eval_bands - 1, 0).bit_length()
 
@@ -758,9 +771,8 @@ def run_categories(
         cids = chunk_cids_b.value[chunk]
         nodes = {cid: compiled_b.value[cid] for cid in cids}
         needs_pos = any(_node_has_phrase(n) for n in nodes.values())
-        rows_by_term: dict[tuple[str, str], pd.DataFrame] = {
-            (fld, trm): rows
-            for (fld, trm), rows in pdf.groupby(["field", "term"], sort=False)
+        rows_by_term: dict[int, pd.DataFrame] = {
+            int(t): rows for t, rows in pdf.groupby("term_id", sort=False)
         }
         virt = {}
         for kkey, arr in virtual_b.value.items():
@@ -772,7 +784,8 @@ def run_categories(
             else:
                 virt[kkey] = arr
         ev = _Evaluator(
-            rows_by_term, virt, df_map_b.value, n_docs, k1, b, avgdl, scored, needs_pos
+            rows_by_term, virt, df_map_b.value, n_docs, k1, b, avgdl, scored,
+            needs_pos, tid_map_b.value,
         )
         frames = []
         for cid in cids:

@@ -7,6 +7,12 @@
   hyperplanes (seeded, driver-generated), sign-bit signature, candidates
   share >= 1 band; exact re-rank inside buckets.  The scale path: the scan
   shuffles by (band, bucket) instead of crossing every (query, doc) pair.
+* ``ivf_topk``        — inverted-file ANN: deterministic k-means(ish)
+  coarse centroids trained on a sample (driver-side NumPy Lloyd
+  iterations), corpus partitioned by nearest centroid (Arrow-vectorized
+  assignment), queries probe the ``nprobe`` nearest cells; exact re-rank
+  inside probed cells.  With ``nprobe == n_cells`` it is exact (equals
+  brute force) — the oracle-checkable configuration.
 """
 
 from __future__ import annotations
@@ -134,6 +140,123 @@ def lsh_topk(
         e_sig.join(F.broadcast(q_sig), ["band", "bucket"])
         .select("query_id", "vec_id")
         .distinct()
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("evec"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(e, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col(F.col("qvec"), F.col("evec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+# -- IVF ----------------------------------------------------------------------
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = SEED,
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample (L2-normalized, so
+    nearest-centroid by dot product == by cosine).  The sample is the first
+    ``sample`` rows by a hash order (seeded, reproducible), which at corpus
+    scale is an unbiased-enough coarse quantizer; centroids are (C, dim)."""
+    rows = (
+        embeddings.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.lit(seed), F.col("v").cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    # k-means++-lite seeding: spread picks by hash order, then Lloyd
+    cents = x[:: max(1, len(x) // n_cells)][:n_cells].copy()
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def _assign_cells(df: DataFrame, cents: np.ndarray, id_col: str, vec_col: str, n: int) -> DataFrame:
+    """(id, cell...) — top-n nearest centroids per vector, Arrow-vectorized."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("cell", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if len(x) == 0:
+                continue
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = x @ cents.T
+            if n == 1:
+                cells = np.argmax(sims, axis=1)[:, None]
+            else:
+                cells = np.argsort(-sims, axis=1)[:, :n]
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, cells.shape[1]),
+                    "cell": cells.ravel().astype(np.int32),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(run, schema)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: corpus bucketed by nearest centroid,
+    each query probes its ``nprobe`` nearest cells, exact cosine re-rank on
+    the probed candidates.  Returns (query_id, vec_id, cosine, rank).
+
+    Scale shape: the (cell) join replaces the query x corpus cross join —
+    per-query work is the probed cells' postings only, mirroring the
+    inverted-index text path (cells ~ posting lists)."""
+    cents = centroids if centroids is not None else train_centroids(embeddings, n_cells, vec_col)
+    e_cells = _assign_cells(embeddings, cents, id_col, vec_col, 1).withColumnRenamed(
+        "id", "vec_id"
+    )
+    q_cells = _assign_cells(queries, cents, query_id_col, vec_col, min(nprobe, len(cents))).withColumnRenamed(
+        "id", "query_id"
+    )
+    cand = (
+        e_cells.join(F.broadcast(q_cells), "cell").select("query_id", "vec_id").distinct()
     )
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("evec"))

@@ -103,6 +103,8 @@ def synthesize_corpus(
     min_words: int = 12,
     max_words: int = 48,
     fragment_rate: int = 4,
+    identifier_rate: int = 0,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Build the (repo, path, commit, lang, content, NUM_START_DATE,
     NUM_END_DATE, SOURCE) corpus; fully JVM-side (one xxhash64 per word slot,
@@ -114,18 +116,43 @@ def synthesize_corpus(
     lang_col = F.array(*[F.lit(lang) for lang in _LANGS])
     ext_col = F.array(*[F.lit(_EXTS[lang]) for lang in _LANGS])
 
-    df = spark.range(n_rows).withColumnRenamed("id", "i")
+    # explicit partition count: a corpus parquet written from few partitions
+    # has few row groups, and row groups are the read-split unit — they cap
+    # every downstream stage's parallelism no matter the core count
+    df = spark.range(
+        0, n_rows, 1, num_partitions or max(spark.sparkContext.defaultParallelism, 32)
+    ).withColumnRenamed("id", "i")
     h = lambda *cols: F.xxhash64(F.lit(SEED), *cols)  # noqa: E731
 
     n_words = (F.pmod(h(F.col("i"), F.lit("len")), F.lit(max_words - min_words + 1)) + min_words).cast("int")
-    word_slots = [
-        F.when(
-            F.lit(k) < n_words,
-            _pick(vocab_col, h(F.col("i"), F.lit(f"w{k}"))),
+
+    # one higher-order expression regardless of max_words (a per-slot column
+    # list stops codegen'ing around ~100 slots and bench docs are 100s of
+    # words — realistic source-file length)
+    def slot_word(k):
+        query_word = _pick(vocab_col, h(F.col("i"), F.lit("w"), k))
+        if identifier_rate <= 0:
+            return query_word
+        # heavy-tailed identifier vocabulary (~Zipf: value uniform in
+        # [0, m), m uniform — P(v) ~ ln(V/v)), letters-only so the analyzer
+        # sees a simple token.  Models source code: a small head of common
+        # keywords + a long tail of identifiers; without it every term in a
+        # long doc is stopword-class (df ≈ N), which no real corpus has.
+        zipf = F.pmod(
+            h(F.col("i"), F.lit("zv"), k),
+            F.pmod(h(F.col("i"), F.lit("zm"), k), F.lit(49999)) + 1,
         )
-        for k in range(max_words)
-    ]
-    base_text = F.concat_ws(" ", *word_slots)
+        ident = F.concat(
+            F.lit("x"), F.translate(zipf.cast("string"), "0123456789", "abcdefghij")
+        )
+        return F.when(
+            F.pmod(h(F.col("i"), F.lit("sel"), k), F.lit(10)) < identifier_rate,
+            ident,
+        ).otherwise(query_word)
+
+    base_text = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_words - 1), slot_word), " "
+    )
     frag = F.when(
         F.pmod(h(F.col("i"), F.lit("fraggate")), F.lit(fragment_rate)) == 0,
         _pick(frag_col, h(F.col("i"), F.lit("frag"))),

@@ -15,11 +15,14 @@ full rebuild would produce, then merged into the results table.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ds_discovery_opensearch_taxonomy_spark.engine import TaxonomyEngine
+from ds_discovery_opensearch_taxonomy_spark.engine import TaxonomyEngine, _GlobalStatsOracle
+from ds_discovery_opensearch_taxonomy_spark.operators import search as search_ops
+from ds_discovery_opensearch_taxonomy_spark.operators.oracle import build_oracle_doc
 from ds_discovery_opensearch_taxonomy_spark.sources.corpus import with_doc_ids
 
 RESULT_SCHEMA = T.StructType(
@@ -33,14 +36,44 @@ RESULT_SCHEMA = T.StructType(
 def categorise_batch(engine: TaxonomyEngine, batch_df: DataFrame) -> DataFrame:
     """Categorise one micro-batch of corpus rows; returns
     (doc_id, category_ids) incl. empty arrays (every input doc is emitted —
-    reference seeds all batch IAIDs)."""
-    rows = [r.asDict() for r in with_doc_ids(batch_df).collect()]
-    results = engine.categorise_docs(rows, scored=False)
-    data = [
-        (r["doc_id"], sorted(c["category_id"] for c in r["categories"]))
-        for r in results
-    ]
-    return engine.spark.createDataFrame(data, RESULT_SCHEMA)
+    reference seeds all batch IAIDs).
+
+    Distributed doc-at-a-time evaluation: the compiled queries + GLOBAL
+    index stats (df/avgdl/N snapshot) broadcast to executors, each Arrow
+    batch evaluated in place — no collect/driver loop, so a micro-batch can
+    be millions of rows.  Scores (when computed) equal the batch path's
+    because the stats are the same snapshot."""
+    pairs = engine._category_pairs()
+    compiled, _virtual, df_map, _buckets, _tids = search_ops.compile_queries(
+        engine.reader, pairs, engine.config
+    )
+    payload = engine.spark.sparkContext.broadcast(
+        (
+            compiled,
+            df_map,
+            dict(engine.reader.avgdl),
+            float(engine.reader.n_docs),
+            engine.config,
+            [cid for cid, _ in pairs],
+        )
+    )
+
+    def run(batches):
+        compiled_q, dfm, avgdl, n_docs, config, cids = payload.value
+        for pdf in batches:
+            out_ids, out_cats = [], []
+            recs = pdf.to_dict("records")
+            for rec in recs:
+                doc = build_oracle_doc(rec.get("doc_id"), rec, config)
+                shim = _GlobalStatsOracle(doc, config, n_docs, avgdl, dfm)
+                cats = sorted(
+                    cid for cid in cids if shim.evaluate(compiled_q[cid], doc)[0]
+                )
+                out_ids.append(doc.doc_id)
+                out_cats.append(cats)
+            yield pd.DataFrame({"doc_id": out_ids, "category_ids": out_cats})
+
+    return with_doc_ids(batch_df).mapInPandas(run, RESULT_SCHEMA)
 
 
 def start_incremental(

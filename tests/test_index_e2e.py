@@ -105,17 +105,10 @@ def test_sha_invariant(built, spark):
 
 def test_salting_applied(built, spark):
     _, _, reader, _ = built
-    salts = (
-        reader.postings()
-        .groupBy("field", "term")
-        .count()
-        .join(
-            reader.postings().select("field", "term", "salt").distinct()
-            .groupBy("field", "term").count().withColumnRenamed("count", "n_salts"),
-            ["field", "term"],
-        )
+    heavy = (
+        reader.postings().select("term_id", "salt").distinct()
+        .groupBy("term_id").count().where("count > 1").count()
     )
-    heavy = salts.where("n_salts > 1").count()
     assert heavy > 0, "expected at least one salted (heavy) term at this scale"
 
 

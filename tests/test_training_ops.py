@@ -163,3 +163,66 @@ class TestMultimodal:
         with pytest.raises(Exception) as ei:
             multimodal.resize_images(assets, 64, 64).collect()
         assert "STUB" in str(ei.value)
+
+
+class TestIVF:
+    def test_ivf_exact_mode_equals_brute_force(self, spark, emb):
+        """nprobe == n_cells probes every cell -> identical to brute force."""
+        e = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        qs = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        bf = {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+            for r in similarity.brute_force_topk(e, qs, k=5).collect()
+        }
+        ivf = {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+            for r in similarity.ivf_topk(e, qs, k=5, n_cells=8, nprobe=8).collect()
+        }
+        assert bf == ivf
+
+    def test_ivf_approximate_recall(self, spark, emb):
+        """nprobe=2/8 cells still recovers most of the true top-5."""
+        e = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        qs = e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        truth = {}
+        for r in similarity.brute_force_topk(e, qs, k=5).collect():
+            truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+        got = {}
+        for r in similarity.ivf_topk(e, qs, k=5, n_cells=8, nprobe=2).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls = [
+            len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+        ]
+        assert sum(recalls) / len(recalls) >= 0.5
+        # the query vector itself lives in a probed cell (its own nearest)
+        for q in truth:
+            assert q in got.get(q, set())
+
+
+class TestSearchFiltersSort:
+    def test_filter_context_and_metadata_sort(self, spark, tmp_path_factory):
+        from ds_discovery_opensearch_taxonomy_spark.config import EngineConfig, FieldSpec
+        from ds_discovery_opensearch_taxonomy_spark.engine import TaxonomyEngine
+
+        cfg = EngineConfig(
+            fields=(FieldSpec("textnocasnopunc", "textnocasnopunc", ("text",)),),
+            int_fields=("n_chars",),
+            n_term_buckets=2,
+            n_eval_bands=1,
+        )
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        idx = str(tmp_path_factory.mktemp("idx_filters"))
+        eng = TaxonomyEngine.build(spark, docs, idx, cfg, resume=False)
+
+        res = eng.search('"table"', limit=10, filters={"lang": ["en"]}).collect()
+        assert res, "filtered search returned nothing"
+        en_ids = {r["doc_id"] for r in docs.where(F.col("lang") == "en").select("doc_id").collect()}
+        assert all(r["doc_id"] in en_ids for r in res)
+
+        res2 = eng.search('"table"', limit=10, sort_by=[("n_chars", False)]).collect()
+        lens = [r["n_chars"] for r in res2]
+        assert lens == sorted(lens, reverse=True)

@@ -5,10 +5,11 @@ Spark re-plan of the reference's per-batch RAMDirectory indexing
 (SURVEY.md §3.1):
 
   corpus ──mapInPandas tokenize (Arrow, memoized analyzers)──▶
-  staging (field, term, doc_id, tf, dl, pos_bytes) partitioned by
-  term-hash bucket ──per-bucket, resumable──▶ df/cf dictionary +
-  salt-split sorted posting blocks (docID-gap varbyte + per-block
-  max-score metadata) ──manifest commit──▶ global postings table.
+  staging (term_id, term?, ford, doc_id, tf, dl, pos_bytes) partitioned
+  by term-hash bucket ──▶ df/cf dictionary (one codegen'd agg) ──▶
+  per-bucket resumable mapInArrow block build: salt-split sorted posting
+  blocks (docID-gap varbyte + per-block max-score metadata) ──manifest
+  commit──▶ global postings table.
 
 Scale levers (north rule):
 * ONE wide shuffle total (the staged write, keyed by term bucket); doc
@@ -73,7 +74,7 @@ def term_id_of(field: str, term: str) -> int:
     ).digest()
     return int.from_bytes(digest, "big", signed=True)
 
-#: posting blocks are keyed by ``term_id = xxhash64(field, term)`` — the
+#: posting blocks are keyed by the numeric ``term_id`` (see term_id_of) — the
 #: heavy build/query paths stay ALL-NUMERIC (term strings live only in the
 #: dictionary table, which wildcard/range scans read).  String columns in
 #: Arrow/pandas hops cost ~1-2 µs/value and saturate memory bandwidth at
@@ -102,7 +103,8 @@ BLOCKS_SCHEMA = T.StructType(
 
 
 def tokenize_corpus(corpus: DataFrame, config: EngineConfig) -> DataFrame:
-    """corpus (with doc_id) -> (field, term, doc_id, tf, dl, pos_bytes).
+    """corpus (with doc_id) -> TOKENS_SCHEMA rows (numeric postings; term
+    strings shipped once per chunk for the dictionary).
 
     Vectorized via mapInPandas (Arrow batches); token analysis is memoized
     per unique raw token (functions/analysis.py), so cost scales with
@@ -179,32 +181,100 @@ def _band_of(doc_ids: np.ndarray, band_bits: int) -> np.ndarray:
     return (u ^ np.uint64(1 << (band_bits - 1))).astype(np.int64)
 
 
+def _extract_columns(rb) -> dict:
+    """pa.RecordBatch -> dict of numpy columns; pos_bytes stays ONE
+    contiguous byte stream + an int64 offsets array (zero per-row python
+    objects — sliced straight out of the Arrow binary buffers)."""
+    idx = {f: i for i, f in enumerate(rb.schema.names)}
+    out = {
+        name: rb.column(idx[name]).to_numpy(zero_copy_only=False)
+        for name in ("term_id", "doc_id", "tf", "dl", "df", "salt", "ford")
+    }
+    arr = rb.column(idx["pos_bytes"])
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = memoryview(bufs[2])[int(off[0]) : int(off[-1])] if len(off) else b""
+    out["pos_off"] = off - (off[0] if len(off) else 0)
+    out["pos_data"] = bytes(data)
+    return out
+
+
+def _concat_columns(a: dict, b: dict) -> dict:
+    out = {k: np.concatenate([a[k], b[k]]) for k in a if k not in ("pos_off", "pos_data")}
+    out["pos_data"] = a["pos_data"] + b["pos_data"]
+    out["pos_off"] = np.concatenate([a["pos_off"][:-1], b["pos_off"] + len(a["pos_data"])])
+    return out
+
+
+def _slice_columns(c: dict, lo: int, hi: int) -> dict:
+    out = {k: c[k][lo:hi] for k in c if k not in ("pos_off", "pos_data")}
+    po = c["pos_off"]
+    out["pos_data"] = c["pos_data"][int(po[lo]) : int(po[hi])]
+    out["pos_off"] = po[lo : hi + 1] - po[lo]
+    return out
+
+
+def _arrow_blocks_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term_id", pa.int64()),
+            ("salt", pa.int32()),
+            ("band", pa.int32()),
+            ("blk_seq", pa.int32()),
+            ("n", pa.int32()),
+            ("min_docid", pa.int64()),
+            ("max_docid", pa.int64()),
+            ("df", pa.int64()),
+            ("idf", pa.float64()),
+            ("max_score_ub", pa.float64()),
+            ("docids", pa.binary()),
+            ("tfs", pa.binary()),
+            ("dls", pa.binary()),
+            ("posdata", pa.binary()),
+        ]
+    )
+
+
+def _binary_from_stream(stream: bytes, boundaries: np.ndarray):
+    """Blocks tile the stream consecutively, so the output BinaryArray is
+    just (int32 offsets, the stream itself) — no per-block slicing."""
+    import pyarrow as pa
+
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(boundaries) - 1,
+        [None, pa.py_buffer(boundaries.astype(np.int32).tobytes()), pa.py_buffer(stream)],
+    )
+
+
 def _build_blocks_batch(
-    pdf: pd.DataFrame,
+    c: dict,
     n_docs: float,
-    avgdl: dict[str, float],
+    avgdl: np.ndarray,
     k1: float,
     b: float,
     block_size: int,
     band_bits: int,
-) -> pd.DataFrame:
-    """Vectorized block construction for a batch of COMPLETE
+):
+    """Fully-vectorized block construction for a batch of COMPLETE
     (term_id, salt) groups, already sorted by (term_id, salt, doc_id).
-    Every codec pass runs ONCE over the whole batch; per-block blobs are
-    byte-slices of the batch-level varbyte streams (boundaries from
-    per-value end offsets).  All-numeric frame: no string columns cross
-    the Arrow boundary.  Cost: O(postings) numpy + O(blocks) python
-    tuple assembly."""
-    n = len(pdf)
-    tid = pdf["term_id"].to_numpy().astype(np.int64)
-    slt = pdf["salt"].to_numpy().astype(np.int64)
-    doc_ids = pdf["doc_id"].to_numpy()
-    tfs = pdf["tf"].to_numpy().astype(np.int64)
-    dls = pdf["dl"].to_numpy().astype(np.int64)
-    dfs = pdf["df"].to_numpy().astype(np.int64)
-    # avgdl by field ordinal (field_of_tid maps term_id -> ordinal)
-    ford = pdf["ford"].to_numpy().astype(np.int64)
-    pos_bytes = pdf["pos_bytes"].to_numpy(dtype=object)
+    Every codec pass runs ONCE over the whole batch; the four output
+    binary columns are offset arrays over the batch-level varbyte streams
+    (consecutive blocks tile each stream) — zero per-block python."""
+    import pyarrow as pa
+
+    n = len(c["term_id"])
+    tid = c["term_id"].astype(np.int64)
+    slt = c["salt"].astype(np.int64)
+    doc_ids = c["doc_id"].astype(np.int64)
+    tfs = c["tf"].astype(np.int64)
+    dls = c["dl"].astype(np.int64)
+    dfs = c["df"].astype(np.int64)
+    ford = c["ford"].astype(np.int64)
     bands = _band_of(doc_ids, band_bits)
 
     idx = np.arange(n, dtype=np.int64)
@@ -241,11 +311,10 @@ def _build_blocks_batch(
     dl_bytes, dl_ends = codec.varbyte_encode_offsets(dls.astype(np.uint64))
 
     # positions arrive pre-encoded per posting (delta varbyte, absolute
-    # first value) — block posdata is a byte-slice of the concatenation
-    pos_blob = b"".join(pos_bytes)
-    pos_lens = np.fromiter((len(b) for b in pos_bytes), dtype=np.int64, count=n)
-    pos_off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(pos_lens, out=pos_off[1:])
+    # first value) as ONE stream + offsets — block posdata boundaries are
+    # just offset lookups
+    pos_off = c["pos_off"]
+    pos_data = c["pos_data"]
 
     av = avgdl[ford]
     idfs = scoring.idf(dfs.astype(np.float64), n_docs)
@@ -255,26 +324,24 @@ def _build_blocks_batch(
     de = np.concatenate([[0], doc_ends])
     te = np.concatenate([[0], tf_ends])
     le = np.concatenate([[0], dl_ends])
-    rows = [
-        (
-            int(tid[s]),
-            int(slt[s]),
-            int(bands[s]),
-            int(blk_seq[bi]),
-            int(e - s),
-            int(doc_ids[s]),
-            int(doc_ids[e - 1]),
-            int(dfs[s]),
-            float(idfs[s]),
-            float(ubs[bi]),
-            doc_bytes[de[s]:de[e]],
-            tf_bytes[te[s]:te[e]],
-            dl_bytes[le[s]:le[e]],
-            pos_blob[pos_off[s]:pos_off[e]],
-        )
-        for bi, (s, e) in enumerate(zip(starts, ends))
+    bounds = np.append(starts, n)
+    arrays = [
+        pa.array(tid[starts], pa.int64()),
+        pa.array(slt[starts].astype(np.int32), pa.int32()),
+        pa.array(bands[starts].astype(np.int32), pa.int32()),
+        pa.array(blk_seq.astype(np.int32), pa.int32()),
+        pa.array((ends - starts).astype(np.int32), pa.int32()),
+        pa.array(doc_ids[starts], pa.int64()),
+        pa.array(doc_ids[ends - 1], pa.int64()),
+        pa.array(dfs[starts], pa.int64()),
+        pa.array(idfs[starts], pa.float64()),
+        pa.array(ubs, pa.float64()),
+        _binary_from_stream(doc_bytes, de[bounds]),
+        _binary_from_stream(tf_bytes, te[bounds]),
+        _binary_from_stream(dl_bytes, le[bounds]),
+        _binary_from_stream(pos_data, pos_off[bounds]),
     ]
-    return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+    return pa.RecordBatch.from_arrays(arrays, schema=_arrow_blocks_schema())
 
 
 def make_block_builder(
@@ -285,34 +352,35 @@ def make_block_builder(
     block_size: int,
     band_bits: int,
 ):
-    """Returns a mapInPandas function that streams sorted (term_id, salt,
+    """Returns a mapInArrow function that streams sorted (term_id, salt,
     doc_id) rows and emits posting blocks.  ``avgdl`` is indexed by field
     ordinal (the ``ford`` column).  Groups split across Arrow batches are
     carried to the next batch, so each group is built whole; per-batch
-    work is vectorized (no per-group UDF dispatch — this replaced an
-    applyInPandas that spent ~2.5 ms/group on Arrow plumbing alone)."""
+    work is pure numpy + Arrow buffer construction (no pandas hop, no
+    per-row or per-block python objects)."""
 
     def run(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
+        carry: dict | None = None
+        for rb in batches:
+            if len(rb) == 0:
                 continue
-            tid = pdf["term_id"].to_numpy()
-            slt = pdf["salt"].to_numpy()
-            change = np.empty(len(pdf), dtype=bool)
+            cols = _extract_columns(rb)
+            if carry is not None:
+                cols = _concat_columns(carry, cols)
+                carry = None
+            tid = cols["term_id"]
+            slt = cols["salt"]
+            change = np.empty(len(tid), dtype=bool)
             change[0] = True
             change[1:] = (tid[1:] != tid[:-1]) | (slt[1:] != slt[:-1])
             last_start = int(np.flatnonzero(change)[-1])
             if last_start == 0:
-                carry = pdf  # single (possibly continuing) group — hold it
+                carry = cols  # single (possibly continuing) group — hold it
                 continue
-            carry = pdf.iloc[last_start:]
-            done = pdf.iloc[:last_start]
+            carry = _slice_columns(cols, last_start, len(tid))
+            done = _slice_columns(cols, 0, last_start)
             yield _build_blocks_batch(done, n_docs, avgdl, k1, b, block_size, band_bits)
-        if carry is not None and len(carry):
+        if carry is not None and len(carry["term_id"]):
             yield _build_blocks_batch(carry, n_docs, avgdl, k1, b, block_size, band_bits)
 
     return run
@@ -497,18 +565,14 @@ def build_index(
                     ),
                 )
             )
-            # bucket jobs run build_parallelism-wide, so give each a slice
-            # of the cores (over-partitioning every concurrent job to full
-            # cluster width just multiplies small tasks and output files)
-            n_parts = max(
-                spark.sparkContext.defaultParallelism
-                // max(min(config.build_parallelism, len(todo)), 1),
-                8,
-            )
+            # enough tasks per job that concurrent bucket jobs can fill
+            # freed slots (finer granularity costs little; too-coarse tasks
+            # leave cores idle during each job's tail)
+            n_parts = max(spark.sparkContext.defaultParallelism, 8)
             blocks = (
                 salted.repartition(n_parts, "term_id", "salt")
                 .sortWithinPartitions("term_id", "salt", "doc_id")
-                .mapInPandas(builder, BLOCKS_SCHEMA)
+                .mapInArrow(builder, BLOCKS_SCHEMA)
             )
             obs = Observation(f"bucket_{bucket}")
             blocks = blocks.observe(

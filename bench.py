@@ -38,7 +38,9 @@ def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
-    n_rows = int(os.environ.get("BENCH_ROWS", int(500_000 * sf / 0.1)))
+    # 250k rows/sf0.1 of ~1.7 KB docs carry ~2.5x the tokens of the old
+    # 500k short-doc slice while keeping a driver round under ~10 min
+    n_rows = int(os.environ.get("BENCH_ROWS", int(250_000 * sf / 0.1)))
 
     from ds_discovery_opensearch_taxonomy_spark.cli import make_spark
     from ds_discovery_opensearch_taxonomy_spark.config import EngineConfig

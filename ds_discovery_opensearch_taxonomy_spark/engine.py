@@ -207,32 +207,46 @@ class TaxonomyEngine:
     # -- results sink -------------------------------------------------------------
 
     def save_results(self, per_doc: DataFrame) -> None:
-        """Idempotent upsert of (doc_id, category_ids) into the results
-        table — merge-by-key emulation of the reference's bulk doc-as-upsert
-        (Iceberg ``MERGE INTO results USING new ON doc_id WHEN MATCHED
-        UPDATE SET category_ids WHEN NOT MATCHED INSERT``)."""
-        cat = self.reader.cat
-        path = cat.path(IndexCatalog.RESULTS)
-        import os
+        """ATOMIC idempotent upsert of (doc_id, category_ids) into the
+        results table — merge-by-key emulation of the reference's bulk
+        doc-as-upsert (OpenSearchIAViewUpdateRepository.SaveAll:49-70; on a
+        real catalog this is Iceberg ``MERGE INTO results USING new ON
+        doc_id WHEN MATCHED THEN UPDATE ... WHEN NOT MATCHED THEN INSERT``).
 
-        if os.path.exists(path):
-            existing = self.spark.read.parquet(path)
+        Snapshot protocol (mirrors Iceberg's): the merged table is written
+        to a NEW versioned directory, then the catalog manifest pointer is
+        swapped atomically (tmp-file + ``os.replace``).  A crash at any
+        point leaves the previous version live; stale versions are garbage-
+        collected on the next successful commit."""
+        cat = self.reader.cat
+        cur = cat.results_version()
+        new = cur + 1
+        if cur > 0:
+            existing = self.results()
             merged = (
                 existing.join(per_doc.select("doc_id"), "doc_id", "left_anti")
                 .unionByName(per_doc)
             )
-            tmp = path + "_tmp"
-            merged.write.mode("overwrite").parquet(tmp)
-            final = self.spark.read.parquet(tmp)
-            final.write.mode("overwrite").parquet(path)
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
         else:
-            per_doc.write.mode("overwrite").parquet(path)
+            merged = per_doc
+        merged.write.mode("overwrite").parquet(
+            cat.path(f"{IndexCatalog.RESULTS}_v{new}")
+        )
+        cat.commit_results_version(new)  # atomic pointer swap
+        import shutil
+
+        for old in range(max(1, new - 1), new):  # GC superseded snapshot
+            shutil.rmtree(
+                cat.path(f"{IndexCatalog.RESULTS}_v{old}"), ignore_errors=True
+            )
 
     def results(self) -> DataFrame:
-        return self.spark.read.parquet(self.reader.cat.path(IndexCatalog.RESULTS))
+        v = self.reader.cat.results_version()
+        if v <= 0:
+            raise FileNotFoundError("no committed results snapshot")
+        return self.spark.read.parquet(
+            self.reader.cat.path(f"{IndexCatalog.RESULTS}_v{v}")
+        )
 
 
 class _GlobalStatsOracle(OracleIndex):
@@ -256,8 +270,10 @@ class _GlobalStatsOracle(OracleIndex):
                 hit, _ = OracleIndex.evaluate(self, node.source, doc)
             return hit, 1.0 if hit else 0.0
         if isinstance(node, search_ops.VirtualDocsNode):
-            # metadata clauses for ad-hoc docs: evaluate from the doc itself
-            return False, 0.0
+            # metadata clauses for ad-hoc docs: evaluate the original
+            # Int/Id clause against the doc's own metadata (the compiled
+            # node keeps it as ``source``)
+            return OracleIndex.evaluate(self, node.source, doc)
         if isinstance(node, qp.BoolNode):
             return OracleIndex.evaluate(self, node, doc)
         if isinstance(node, qp.PhraseNode):

@@ -164,6 +164,33 @@ def encode_position_lists(position_lists: list) -> list[bytes]:
     return [data[be[starts[i]]:be[starts[i + 1]]] for i in range(n)]
 
 
+def encode_position_groups(
+    flat_positions: np.ndarray, group_starts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Flat per-posting position stream -> (varbyte stream, byte boundaries).
+
+    ``flat_positions`` holds every posting's sorted positions concatenated;
+    ``group_starts`` marks each posting's first index.  Deltas are taken
+    within a posting (absolute first value), encoded in ONE vectorized
+    codec pass; posting i's bytes are
+    ``stream[boundaries[i]:boundaries[i+1]]`` — the zero-per-posting-Python
+    variant of :func:`encode_position_lists` used by the vectorized
+    tokenizer (functions/vtokenize.py)."""
+    flat = np.ascontiguousarray(flat_positions, dtype=np.int64)
+    starts = np.ascontiguousarray(group_starts, dtype=np.int64)
+    if flat.size == 0:
+        return b"", np.zeros(len(starts) + 1, dtype=np.int64)
+    deltas = np.empty_like(flat)
+    deltas[0] = flat[0]
+    deltas[1:] = flat[1:] - flat[:-1]
+    deltas[starts] = flat[starts]
+    data, ends = varbyte_encode_offsets(deltas.astype(np.uint64))
+    bounds = np.zeros(len(starts) + 1, dtype=np.int64)
+    nxt = np.append(starts[1:], len(flat))
+    bounds[1:] = ends[nxt - 1]
+    return data, bounds
+
+
 def encode_positions(position_lists: list[np.ndarray]) -> bytes:
     """Per-posting sorted position lists -> concatenated delta varbyte."""
     return b"".join(encode_position_lists(position_lists))

@@ -63,16 +63,10 @@ TOKENS_SCHEMA = T.StructType(
 )
 
 
-def term_id_of(field: str, term: str) -> int:
-    """64-bit id of a (field, term) pair — signed int64 (blake2b-8).
-    Collision risk is over the VOCABULARY (~n²/2⁶⁵); swap to a 128-bit
-    two-column id beyond ~10⁸ distinct terms."""
-    import hashlib
-
-    digest = hashlib.blake2b(
-        f"{field}\x00{term}".encode(), digest_size=8
-    ).digest()
-    return int.from_bytes(digest, "big", signed=True)
+# re-exported for compatibility; lives with the vectorized tokenizer now
+from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (  # noqa: E402
+    term_id_of,
+)
 
 #: posting blocks are keyed by the numeric ``term_id`` (see term_id_of) — the
 #: heavy build/query paths stay ALL-NUMERIC (term strings live only in the
@@ -106,70 +100,94 @@ def tokenize_corpus(corpus: DataFrame, config: EngineConfig) -> DataFrame:
     """corpus (with doc_id) -> TOKENS_SCHEMA rows (numeric postings; term
     strings shipped once per chunk for the dictionary).
 
-    Vectorized via mapInPandas (Arrow batches); token analysis is memoized
-    per unique raw token (functions/analysis.py), so cost scales with
-    vocabulary, not corpus size, inside a batch.  Output is already
-    aggregated per (doc, term) — the map-side combine — so the only wide
-    shuffle downstream is the term-bucket staging write."""
+    Vectorized via mapInArrow + the unique-span tokenizer
+    (functions/vtokenize.py): the analyzer chain runs once per *unique*
+    span (process-lifetime cache), posting aggregation is NumPy
+    lexsort/reduce, and the output batch's binary column is built zero-copy
+    — no per-row or per-posting Python anywhere (input_hint mandate).
+    Output is already aggregated per (doc, term) — the map-side combine —
+    so the only wide shuffle downstream is the term-bucket staging write."""
+    from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
+        ChunkTokenizer,
+    )
+
     specs = [(f.name, f.analyzer, list(f.source_columns)) for f in config.fields]
+    src_cols = sorted({c for f in config.fields for c in f.source_columns})
+    chunk = 2048  # docs per emitted batch — bounds per-worker memory
 
-    chunk = 1024  # docs per emitted frame — bounds per-worker memory
+    def run(batches):
+        import pyarrow as pa
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # (field, term) -> term_id, process-lifetime memo (worker reuse)
-        tid_memo: dict[tuple[int, str], int] = {}
-        for pdf in batches:
-            for lo in range(0, len(pdf), chunk):
-                sub = pdf.iloc[lo:lo + chunk]
-                out_tid, out_term, out_ford, out_doc = [], [], [], []
-                out_tf, out_dl, out_pos = [], [], []
-                seen_chunk: set[int] = set()
-                doc_ids = sub["doc_id"].to_numpy()
-                for ford, (fname, analyzer, cols) in enumerate(specs):
-                    col_arrays = [sub[c].astype(str).to_numpy() for c in cols]
-                    for i in range(len(sub)):
-                        text = " ".join(a[i] for a in col_arrays)
-                        toks = analysis.analyze(analyzer, text)
-                        if not toks:
-                            continue
-                        per_term: dict[str, list[int]] = {}
-                        for term, pos in toks:
-                            per_term.setdefault(term, []).append(pos)
-                        dl = len(toks)
-                        did = int(doc_ids[i])
-                        for term, poss in per_term.items():
-                            mkey = (ford, term)
-                            tid = tid_memo.get(mkey)
-                            if tid is None:
-                                tid = term_id_of(fname, term)
-                                tid_memo[mkey] = tid
-                            out_tid.append(tid)
-                            # term string ships ONCE per chunk (null rest)
-                            if tid in seen_chunk:
-                                out_term.append(None)
-                            else:
-                                seen_chunk.add(tid)
-                                out_term.append(term)
-                            out_ford.append(ford)
-                            out_doc.append(did)
-                            out_tf.append(len(poss))
-                            out_dl.append(dl)
-                            out_pos.append(poss)
-                yield pd.DataFrame(
-                    {
-                        "term_id": np.array(out_tid, dtype=np.int64),
-                        "term": out_term,
-                        "ford": np.array(out_ford, dtype=np.int32),
-                        "doc_id": np.array(out_doc, dtype=np.int64),
-                        "tf": np.array(out_tf, dtype=np.int32),
-                        "dl": np.array(out_dl, dtype=np.int32),
-                        # one vectorized codec pass for the whole chunk
-                        "pos_bytes": codec.encode_position_lists(out_pos),
-                    }
+        tok = ChunkTokenizer(specs)
+        schema = pa.schema(
+            [
+                ("term_id", pa.int64()),
+                ("term", pa.string()),
+                ("ford", pa.int32()),
+                ("doc_id", pa.int64()),
+                ("tf", pa.int32()),
+                ("dl", pa.int32()),
+                ("pos_bytes", pa.binary()),
+            ]
+        )
+        for rb in batches:
+            names = rb.schema.names
+            for lo in range(0, rb.num_rows, chunk):
+                sub = rb.slice(lo, chunk)
+                doc_ids = sub.column(names.index("doc_id")).to_numpy(
+                    zero_copy_only=False
+                )
+                columns = {
+                    c: sub.column(names.index(c)).to_pylist() for c in src_cols
+                }
+                results = tok.tokenize(columns, doc_ids)
+                if not results:
+                    continue
+                term_col = tok.term_strings(results)
+                tid = np.concatenate([r["term_id"] for r in results])
+                ford = np.concatenate(
+                    [
+                        np.full(len(r["term_id"]), r["ford"], dtype=np.int32)
+                        for r in results
+                    ]
+                )
+                doc = np.concatenate([r["doc_id"] for r in results])
+                tf = np.concatenate([r["tf"] for r in results])
+                dl = np.concatenate([r["dl"] for r in results])
+                # per-field position streams tile into one chunk stream
+                pos_data = b"".join(r["pos_data"] for r in results)
+                shifts, off = [], 0
+                for r in results:
+                    shifts.append(r["pos_bounds"][:-1] + off)
+                    off += len(r["pos_data"])
+                bounds = np.append(np.concatenate(shifts), off)
+                if bounds[-1] >= 2**31:  # int32 Arrow offsets guard
+                    raise ValueError(
+                        "chunk position stream exceeds 2 GiB; lower chunk size"
+                    )
+                pos_col = pa.Array.from_buffers(
+                    pa.binary(),
+                    len(bounds) - 1,
+                    [
+                        None,
+                        pa.py_buffer(bounds.astype(np.int32).tobytes()),
+                        pa.py_buffer(pos_data),
+                    ],
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(tid, pa.int64()),
+                        pa.array(term_col, pa.string()),
+                        pa.array(ford, pa.int32()),
+                        pa.array(doc, pa.int64()),
+                        pa.array(tf, pa.int32()),
+                        pa.array(dl, pa.int32()),
+                        pos_col,
+                    ],
+                    schema=schema,
                 )
 
-    cols = {c for f in config.fields for c in f.source_columns}
-    return corpus.select("doc_id", *sorted(cols)).mapInPandas(run, TOKENS_SCHEMA)
+    return corpus.select("doc_id", *src_cols).mapInArrow(run, TOKENS_SCHEMA)
 
 
 def _band_of(doc_ids: np.ndarray, band_bits: int) -> np.ndarray:
@@ -244,6 +262,13 @@ def _binary_from_stream(stream: bytes, boundaries: np.ndarray):
     just (int32 offsets, the stream itself) — no per-block slicing."""
     import pyarrow as pa
 
+    if len(boundaries) and int(boundaries[-1]) >= 2**31:
+        # int32 Arrow offsets would silently wrap -> corrupt postings table
+        raise ValueError(
+            f"builder batch stream is {int(boundaries[-1])} bytes (>= 2 GiB); "
+            "lower the Arrow batch size (spark.sql.execution.arrow."
+            "maxRecordsPerBatch) or raise n_term_buckets"
+        )
     return pa.Array.from_buffers(
         pa.binary(),
         len(boundaries) - 1,
@@ -489,6 +514,7 @@ def build_index(
                 F.count("*").alias("df"),
                 F.sum("tf").alias("cf"),
                 F.max("term").alias("term"),
+                F.min("term").alias("term_lo"),
                 F.max("ford").alias("ford"),
             )
             .withColumn(
@@ -502,8 +528,30 @@ def build_index(
         # file per bucket (tasks × buckets small files — measurably slower
         # than the extra narrow exchange)
         dictionary = dictionary.repartition(2 * config.n_term_buckets, "bucket")
-        cat.write(dictionary, IndexCatalog.DICTIONARY, partition_by=["bucket"])
-        cat.commit_stage("dictionary")
+        # 64-bit term_id collision detection, ~free: min/max over the
+        # (mostly-null, once-per-chunk) term strings disagree only when two
+        # DISTINCT terms share a term_id — which would silently merge their
+        # postings (wrong df/idf, cross-matched docs).  Declarative aggs
+        # keep the stage in whole-stage codegen.
+        coll_obs = Observation("tid_collisions")
+        dictionary = dictionary.observe(
+            coll_obs,
+            F.sum(
+                F.when(F.col("term_lo") != F.col("term"), 1).otherwise(0)
+            ).alias("n"),
+        )
+        cat.write(
+            dictionary.drop("term_lo"), IndexCatalog.DICTIONARY,
+            partition_by=["bucket"],
+        )
+        n_coll = int(coll_obs.get["n"] or 0)
+        if n_coll:
+            raise RuntimeError(
+                f"{n_coll} term_id collision(s) detected in the dictionary — "
+                "two distinct terms hash to one 64-bit id; rebuild with a "
+                "128-bit term id (see term_id_of)"
+            )
+        cat.commit_stage("dictionary", {"term_id_collisions": 0})
 
     # -- stage 5: per-bucket postings build (resumable loop) ----------------
     # one Spark job per bucket; metrics come from Observation (no read-back)

@@ -19,6 +19,7 @@ from ds_discovery_opensearch_taxonomy_spark.config import EngineConfig
 from ds_discovery_opensearch_taxonomy_spark.functions import analysis, scoring
 from ds_discovery_opensearch_taxonomy_spark.plans.queryparser import (
     BoolNode,
+    BoostNode,
     IdNode,
     IntRangeNode,
     IntTermNode,
@@ -194,6 +195,9 @@ class OracleIndex:
         if isinstance(node, IdNode):
             hit = doc.doc_ref == node.doc_ref
             return hit, 1.0 if hit else 0.0
+        if isinstance(node, BoostNode):
+            ok, s = self.evaluate(node.child, doc)
+            return ok, s * node.boost
         if isinstance(node, BoolNode):
             must_scores = []
             should_scores = []

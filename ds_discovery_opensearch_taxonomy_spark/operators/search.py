@@ -64,8 +64,13 @@ class IndexReader:
         #: compile_queries results per (categories, config) — the index a
         #: reader points at is immutable, so expansions/df never go stale
         #: (mirrors the reference's static parsed-query cache,
-        #: InMemoryCategoriserRepository.cs:30,337-363)
-        self.compile_cache: dict = {}
+        #: InMemoryCategoriserRepository.cs:30,337-363).  LRU-bounded: a
+        #: long-lived reader serving varied ad-hoc queries must not grow
+        #: without bound.
+        from collections import OrderedDict
+
+        self.compile_cache: OrderedDict = OrderedDict()
+        self.compile_cache_max = 64
 
     # -- tables -------------------------------------------------------------
 
@@ -103,15 +108,21 @@ class IndexReader:
         d = self.dictionary()
         conds = None
         tagged = []
-        for fld, pat in patterns:
+        for fld, pat in sorted(patterns):
             rx = self._wildcard_to_java_regex(pat)
             c = (F.col("field") == fld) & F.col("term").rlike(rx)
             tagged.append(F.when(c, F.lit(f"{fld}\x00{pat}")))
             conds = c if conds is None else (conds | c)
+        # one row per (term, pattern) MATCH: patterns may overlap (the live
+        # fixture has ship*/shipwreck*, c*/coal*/...), so a term matching
+        # several patterns must expand under EVERY one of them — a
+        # first-match coalesce silently dropped it from later patterns
         rows = (
             d.where(conds)
-            .withColumn("pat", F.coalesce(*tagged) if len(tagged) > 1 else tagged[0])
-            .select("pat", "term")
+            .select(
+                F.col("term"),
+                F.explode(F.array_compact(F.array(*tagged))).alias("pat"),
+            )
             .collect()
         )
         out: dict[tuple[str, str], list[str]] = {p: [] for p in patterns}
@@ -161,11 +172,23 @@ class ExpandedTermsNode(qp.Node):
     source: qp.Node | None = None
 
 
+#: pseudo-field hosting virtual posting sets in tid_map/needed_terms
+VIRTUAL_FIELD = "__virtual__"
+
+
 @dataclass(frozen=True)
 class VirtualDocsNode(qp.Node):
-    """Numeric-range / id clause resolved to a doc_id set (constant score)."""
+    """Numeric-range / id clause over docs metadata (constant score).
+
+    Evaluated DISTRIBUTED: the matching doc_id set is materialized as
+    "virtual posting blocks" (same block schema as real postings, built by
+    :func:`build_virtual_blocks`) and unioned into the evaluation shuffle —
+    never collected to the driver (a wide range can match ~every doc; at
+    10¹² rows a driver collect is an OOM).  ``source`` keeps the original
+    metadata clause for condition building and for the single-doc path."""
 
     key: str
+    source: qp.Node
 
 
 def compile_queries(
@@ -174,18 +197,21 @@ def compile_queries(
     config: EngineConfig | None = None,
 ) -> tuple[dict[str, qp.Node], dict[str, np.ndarray], dict[tuple[str, str], int]]:
     """Parse all query strings, expand dictionary-dependent constructs,
-    resolve metadata clauses to virtual doc sets, and pull GLOBAL df for
-    every needed term (one dictionary semi-join) — scoring must use global
-    df everywhere, including phrase terms absent from the index (df=0,
-    Lucene still sums their idf) and bands where a term has no postings.
+    rewrite metadata clauses to virtual-postings nodes, and pull GLOBAL df
+    for every needed term (one dictionary semi-join) — scoring must use
+    global df everywhere, including phrase terms absent from the index
+    (df=0, Lucene still sums their idf) and bands where a term has no
+    postings.
 
-    Returns (compiled nodes by category_id, virtual doc arrays by key,
+    Returns (compiled nodes by category_id, virtual clause nodes by key,
     df by (field, term), hosting bucket by (field, term), term_id by
-    (field, term) — postings are keyed by the numeric term_id)."""
+    (field, term) — postings are keyed by the numeric term_id; virtual
+    clauses appear under the ``__virtual__`` pseudo-field)."""
     config = config or reader.config
     cache_key = (tuple(categories), config)
     cached = reader.compile_cache.get(cache_key)
     if cached is not None:
+        reader.compile_cache.move_to_end(cache_key)
         return cached
     parsed = {cid: qp.parse_query(q, config) for cid, q in categories}
 
@@ -197,35 +223,9 @@ def compile_queries(
     pat_map = reader.expand_wildcards(patterns)
     range_map = reader.expand_term_ranges(ranges)
 
-    virtual: dict[str, np.ndarray] = {}
-
-    def resolve_virtual(node: qp.Node) -> str:
-        key = repr(node)
-        if key in virtual:
-            return key
-        docs = reader.docs()
-        if isinstance(node, qp.IntTermNode):
-            cond = F.col(node.field) == node.value
-        elif isinstance(node, qp.IntRangeNode):
-            cond = F.lit(True)
-            if node.lo is not None:
-                cond = cond & (
-                    F.col(node.field) >= node.lo if node.inc_lo else F.col(node.field) > node.lo
-                )
-            if node.hi is not None:
-                cond = cond & (
-                    F.col(node.field) <= node.hi if node.inc_hi else F.col(node.field) < node.hi
-                )
-        elif isinstance(node, qp.IdNode):
-            cond = F.lower(F.concat_ws("/", "repo", "path", "commit")) == node.doc_ref
-        else:  # pragma: no cover
-            raise TypeError(type(node))
-        ids = np.array(
-            sorted(r["doc_id"] for r in docs.where(cond).select("doc_id").collect()),
-            dtype=np.int64,
-        )
-        virtual[key] = ids
-        return key
+    #: key -> original metadata clause; doc sets are NOT resolved here —
+    #: they materialize distributed at evaluation time (build_virtual_blocks)
+    virtual: dict[str, qp.Node] = {}
 
     def rewrite(node: qp.Node) -> qp.Node:
         if isinstance(node, qp.WildcardNode):
@@ -235,7 +235,11 @@ def compile_queries(
         if isinstance(node, qp.TermRangeNode):
             return ExpandedTermsNode(node.field, range_map.get(node, ()), node)
         if isinstance(node, (qp.IntTermNode, qp.IntRangeNode, qp.IdNode)):
-            return VirtualDocsNode(resolve_virtual(node))
+            key = repr(node)
+            virtual[key] = node
+            return VirtualDocsNode(key, node)
+        if isinstance(node, qp.BoostNode):
+            return qp.BoostNode(rewrite(node.child), node.boost)
         if isinstance(node, qp.BoolNode):
             return qp.BoolNode(tuple((o, rewrite(c)) for o, c in node.clauses))
         return node
@@ -246,11 +250,12 @@ def compile_queries(
     all_terms: set[tuple[str, str]] = set()
     for node in compiled.values():
         all_terms |= needed_terms(node)
+    real_terms = {(f, t) for f, t in all_terms if f != VIRTUAL_FIELD}
     df_map: dict[tuple[str, str], int] = {}
     bucket_map: dict[tuple[str, str], int] = {}
     tid_map: dict[tuple[str, str], int] = {}
-    if all_terms:
-        tdf = reader.spark.createDataFrame(sorted(all_terms), ["field", "term"])
+    if real_terms:
+        tdf = reader.spark.createDataFrame(sorted(real_terms), ["field", "term"])
         rows = (
             reader.dictionary()
             .join(F.broadcast(tdf), ["field", "term"], "inner")
@@ -260,8 +265,14 @@ def compile_queries(
         df_map = {(r["field"], r["term"]): int(r["df"]) for r in rows}
         bucket_map = {(r["field"], r["term"]): int(r["bucket"]) for r in rows}
         tid_map = {(r["field"], r["term"]): int(r["term_id"]) for r in rows}
+    from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import term_id_of
+
+    for key in virtual:
+        tid_map[(VIRTUAL_FIELD, key)] = term_id_of(VIRTUAL_FIELD, key)
     out = (compiled, virtual, df_map, bucket_map, tid_map)
     reader.compile_cache[cache_key] = out
+    while len(reader.compile_cache) > reader.compile_cache_max:
+        reader.compile_cache.popitem(last=False)
     return out
 
 
@@ -269,10 +280,138 @@ def needed_terms(node: qp.Node) -> set[tuple[str, str]]:
     out = qp.collect_terms(node)
     if isinstance(node, ExpandedTermsNode):
         out |= {(node.field, t) for t in node.terms}
+    elif isinstance(node, VirtualDocsNode):
+        out |= {(VIRTUAL_FIELD, node.key)}
+    elif isinstance(node, qp.BoostNode):
+        out |= needed_terms(node.child)
     elif isinstance(node, qp.BoolNode):
         for _, child in node.clauses:
             out |= needed_terms(child)
     return out
+
+
+def virtual_condition(node: qp.Node):
+    """Docs-table predicate for a metadata clause (pushes down to the
+    parquet/Iceberg scan; Int32Field semantics per
+    InMemoryCategoriserRepository.cs:236-244)."""
+    if isinstance(node, qp.IntTermNode):
+        return F.col(node.field) == node.value
+    if isinstance(node, qp.IntRangeNode):
+        cond = F.col(node.field).isNotNull()
+        if node.lo is not None:
+            cond = cond & (
+                F.col(node.field) >= node.lo
+                if node.inc_lo
+                else F.col(node.field) > node.lo
+            )
+        if node.hi is not None:
+            cond = cond & (
+                F.col(node.field) <= node.hi
+                if node.inc_hi
+                else F.col(node.field) < node.hi
+            )
+        return cond
+    if isinstance(node, qp.IdNode):
+        return F.lower(F.concat_ws("/", "repo", "path", "commit")) == node.doc_ref
+    raise TypeError(type(node))  # pragma: no cover
+
+
+#: doc_id-top-bit salts per (virtual key, band) group — bounds the rows any
+#: single virtual-block build task holds to ~corpus/(bands*salts)
+_VIRTUAL_SALT_BITS = 4
+
+
+def build_virtual_blocks(
+    reader: IndexReader,
+    virtual: dict[str, qp.Node],
+    tid_map: dict[tuple[str, str], int],
+    config: EngineConfig,
+    band_bits: int,
+) -> DataFrame:
+    """Materialize metadata clauses as posting blocks (BLOCKS_SCHEMA).
+
+    One distributed pass: docs-table predicate scan per clause (filters
+    push down) -> band+salt from doc_id bits (signed-order monotone, same
+    scheme as the index build) -> per (term_id, band, salt) group sort +
+    gap/varbyte encode.  Groups are bounded by corpus/(bands*2^salt_bits);
+    tfs/dls/posdata are constant-1/0 streams so the normal decode path works
+    unchanged (virtual sets score constant 1.0)."""
+    from ds_discovery_opensearch_taxonomy_spark.operators.index_build import (
+        BLOCKS_SCHEMA,
+    )
+
+    docs = reader.docs()
+    parts = []
+    for key in sorted(virtual):
+        vtid = tid_map[(VIRTUAL_FIELD, key)]
+        parts.append(
+            docs.where(virtual_condition(virtual[key])).select(
+                F.lit(vtid).cast("long").alias("term_id"), F.col("doc_id")
+            )
+        )
+    vdf = parts[0]
+    for p in parts[1:]:
+        vdf = vdf.unionByName(p)
+    tot = band_bits + _VIRTUAL_SALT_BITS
+    # top `tot` bits of doc_id with the sign bit flipped: monotone over
+    # signed doc_id order; high bits -> band, low bits -> salt
+    key_col = F.shiftrightunsigned(F.col("doc_id"), 64 - tot).bitwiseXOR(
+        F.lit(1 << (tot - 1))
+    )
+    vdf = vdf.withColumn(
+        "band", F.shiftright(key_col, _VIRTUAL_SALT_BITS).cast("int")
+    ).withColumn("salt", (key_col % (1 << _VIRTUAL_SALT_BITS)).cast("int"))
+
+    block_size = config.block_size
+
+    def encode(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        vtid, band, salt = int(key[0]), int(key[1]), int(key[2])
+        ids = np.sort(pdf["doc_id"].to_numpy(np.int64))
+        n = len(ids)
+        starts = np.arange(0, n, block_size, dtype=np.int64)
+        ends = np.minimum(starts + block_size, n)
+        rows = {k: [] for k in (
+            "blk_seq", "n", "min_docid", "max_docid", "docids", "tfs", "dls",
+            "posdata",
+        )}
+        ones = None
+        for seq, (lo, hi) in enumerate(zip(starts, ends)):
+            blk = ids[lo:hi]
+            rows["blk_seq"].append(seq)
+            rows["n"].append(hi - lo)
+            rows["min_docid"].append(int(blk[0]))
+            rows["max_docid"].append(int(blk[-1]))
+            # base=None: first gap absolute — _decode_rows' segmented
+            # cumsum treats every block's first gap as an absolute value
+            rows["docids"].append(codec.encode_docids(blk, base=None))
+            if ones is None or len(ones) != hi - lo:
+                ones = codec.varbyte_encode(np.ones(hi - lo, dtype=np.uint64))
+            rows["tfs"].append(ones)
+            rows["dls"].append(ones)
+            rows["posdata"].append(b"\x00" * (hi - lo))  # one pos=0 per posting
+        k = len(rows["blk_seq"])
+        return pd.DataFrame(
+            {
+                "term_id": np.full(k, vtid, dtype=np.int64),
+                "salt": np.full(k, salt, dtype=np.int32),
+                "band": np.full(k, band, dtype=np.int32),
+                "blk_seq": np.asarray(rows["blk_seq"], dtype=np.int32),
+                "n": np.asarray(rows["n"], dtype=np.int32),
+                "min_docid": np.asarray(rows["min_docid"], dtype=np.int64),
+                "max_docid": np.asarray(rows["max_docid"], dtype=np.int64),
+                "df": np.full(k, n, dtype=np.int64),
+                "idf": np.zeros(k),
+                "max_score_ub": np.ones(k),
+                "docids": rows["docids"],
+                "tfs": rows["tfs"],
+                "dls": rows["dls"],
+                "posdata": rows["posdata"],
+            }
+        )
+
+    return vdf.groupBy("term_id", "band", "salt").applyInPandas(
+        encode, BLOCKS_SCHEMA
+    )
 
 
 # --------------------------------------------------------------------------
@@ -378,15 +517,15 @@ class _Evaluator:
     (``eval_topk``) can skip whole terms and whole blocks without paying
     their decode cost."""
 
-    def __init__(self, rows_by_term: dict, virtual: dict, df_map: dict, n_docs: float,
+    def __init__(self, rows_by_term: dict, df_map: dict, n_docs: float,
                  k1: float, b: float, avgdl: dict, scored: bool, needs_pos: bool,
                  tid_map: dict | None = None):
         # rows_by_term is keyed by term_id (numeric postings key); tid_map
-        # translates the AST's (field, term) to it
+        # translates the AST's (field, term) to it.  Virtual doc sets arrive
+        # as ordinary rows under their ``(__virtual__, key)`` term_id.
         self.rows_by_term = rows_by_term
         self.tid_map = tid_map if tid_map is not None else {}
         self.terms: dict = {}  # decode cache: term_id -> _TermData
-        self.virtual = virtual
         self.df_map = df_map  # (field, term) -> GLOBAL df
         self.n_docs = n_docs
         self.k1 = k1
@@ -421,6 +560,8 @@ class _Evaluator:
             return idf_sum * (self.k1 + 1.0)  # tf_norm < k1+1 for any tf
         if isinstance(node, (ExpandedTermsNode, VirtualDocsNode)):
             return 1.0
+        if isinstance(node, qp.BoostNode):
+            return node.boost * self._clause_ub(node.child)
         return float("inf")  # nested bool etc: no bound, never skipped
 
     def _idf(self, field: str, term: str) -> float:
@@ -487,7 +628,7 @@ class _Evaluator:
 
     def _flatten_disjunction(self, node: qp.Node) -> list[qp.Node] | None:
         if isinstance(node, (qp.TermNode, qp.OrTermsNode, qp.PhraseNode,
-                             ExpandedTermsNode)):
+                             ExpandedTermsNode, qp.BoostNode)):
             return [node]
         if isinstance(node, qp.BoolNode) and all(
             o is qp.Occur.SHOULD for o, _ in node.clauses
@@ -548,8 +689,13 @@ class _Evaluator:
                     ids = np.union1d(ids, td.ids)
             return ids, np.ones(len(ids))
         if isinstance(node, VirtualDocsNode):
-            ids = self.virtual.get(node.key, _EMPTY)
-            return ids, np.ones(len(ids))
+            td = self._term(VIRTUAL_FIELD, node.key)
+            if td is None:
+                return _EMPTY, _EMPTY
+            return td.ids, np.ones(len(td.ids))
+        if isinstance(node, qp.BoostNode):
+            ids, sc = self.eval(node.child)
+            return ids, sc * node.boost
         if isinstance(node, qp.PhraseNode):
             return self._eval_phrase(node)
         if isinstance(node, qp.BoolNode):
@@ -747,24 +893,35 @@ def run_categories(
     if not term_chunks:
         return spark.createDataFrame([], RESULT_SCHEMA)
     terms_df = spark.createDataFrame(sorted(term_chunks), ["term_id", "chunk"])
+    band_bits = max(config.n_eval_bands - 1, 0).bit_length()
     # bucket pruning: buckets hosting the needed terms — known from the
     # dictionary fetch in compile_queries (no extra job); terms absent from
     # the dictionary have no postings anywhere
     buckets = sorted({b for b in bucket_map.values()})
-    if not buckets:
+    from ds_discovery_opensearch_taxonomy_spark.operators.index_build import (
+        BLOCKS_SCHEMA,
+    )
+
+    block_cols = [f.name for f in BLOCKS_SCHEMA.fields]
+    blocks = None
+    if buckets:
+        blocks = (
+            reader.postings().where(F.col("bucket").isin(buckets)).select(*block_cols)
+        )
+    if virtual:
+        vblocks = build_virtual_blocks(reader, virtual, tid_map, config, band_bits)
+        blocks = vblocks if blocks is None else blocks.unionByName(vblocks)
+    if blocks is None:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    blocks = reader.postings().where(F.col("bucket").isin(buckets))
     tagged = blocks.join(F.broadcast(terms_df), ["term_id"])
 
     n_docs = float(reader.n_docs)
     avgdl = dict(reader.avgdl)
     k1, b = config.k1, config.b
     compiled_b = spark.sparkContext.broadcast(compiled)
-    virtual_b = spark.sparkContext.broadcast(virtual)
     df_map_b = spark.sparkContext.broadcast(df_map)
     tid_map_b = spark.sparkContext.broadcast(tid_map)
     chunk_cids_b = spark.sparkContext.broadcast(chunk_cids)
-    band_bits = max(config.n_eval_bands - 1, 0).bit_length()
 
     def eval_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         chunk, band = int(key[0]), int(key[1])
@@ -774,17 +931,8 @@ def run_categories(
         rows_by_term: dict[int, pd.DataFrame] = {
             int(t): rows for t, rows in pdf.groupby("term_id", sort=False)
         }
-        virt = {}
-        for kkey, arr in virtual_b.value.items():
-            if band_bits > 0:
-                u = (arr.astype(np.uint64) >> np.uint64(64 - band_bits)) ^ np.uint64(
-                    1 << (band_bits - 1)
-                )
-                virt[kkey] = arr[u.astype(np.int64) == band]
-            else:
-                virt[kkey] = arr
         ev = _Evaluator(
-            rows_by_term, virt, df_map_b.value, n_docs, k1, b, avgdl, scored,
+            rows_by_term, df_map_b.value, n_docs, k1, b, avgdl, scored,
             needs_pos, tid_map_b.value,
         )
         frames = []
@@ -817,6 +965,8 @@ def run_categories(
 def _node_has_phrase(node: qp.Node) -> bool:
     if isinstance(node, qp.PhraseNode):
         return True
+    if isinstance(node, qp.BoostNode):
+        return _node_has_phrase(node.child)
     if isinstance(node, qp.BoolNode):
         return any(_node_has_phrase(c) for _, c in node.clauses)
     return False

@@ -111,6 +111,17 @@ class IdNode(Node):
 
 
 @dataclass(frozen=True)
+class BoostNode(Node):
+    """``clause^N`` — multiplies the wrapped clause's score contribution
+    (classic-parser boost semantics; the reference's API path is
+    boosts-capable, OpenSearchConnection.SetupSearchRequest:243-251).
+    Matching is unaffected — only the score scales."""
+
+    child: Node
+    boost: float
+
+
+@dataclass(frozen=True)
 class BoolNode(Node):
     clauses: tuple[tuple[Occur, Node], ...]
 
@@ -309,33 +320,37 @@ class QueryParser:
             closer = self._next()
             if closer is not None and closer.kind != "RP":
                 raise QueryParseError("expected ')'")
-            self._maybe_boost()
-            return inner
+            return self._boosted(inner)
         if t.kind == "QUOTE":
             slop = 0
             nxt = self._peek()
             if nxt is not None and nxt.kind == "TILDE":
                 self._next()
                 slop = int(float(nxt.text)) if nxt.text else 0
-            self._maybe_boost()
-            return self._analyze_phrase(field, _unescape(t.text), slop)
+            return self._boosted(self._analyze_phrase(field, _unescape(t.text), slop))
         if t.kind in ("LB", "LC"):
-            return self._parse_range(field, inc_lo=(t.kind == "LB"))
+            return self._boosted(self._parse_range(field, inc_lo=(t.kind == "LB")))
         if t.kind == "TERM":
             nxt = self._peek()
             if nxt is not None and nxt.kind == "TILDE":
                 self._next()  # fuzzy ~ — unused by the fixture; treated exact
-            self._maybe_boost()
-            return self._analyze_term(field, t.text)
+            return self._boosted(self._analyze_term(field, t.text))
         if t.kind in ("TO", "AND", "OR", "NOT"):
             # bare keyword in term position — treat as literal term
             return self._analyze_term(field, t.text)
         raise QueryParseError(f"unexpected token {t.kind} {t.text!r}")
 
-    def _maybe_boost(self) -> None:
+    def _boosted(self, node: Node | None) -> Node | None:
+        """Consume a trailing ``^N`` and wrap the clause (multiplicative
+        score boost, matching classic-parser semantics)."""
         nxt = self._peek()
-        if nxt is not None and nxt.kind == "CARET":
-            self._next()  # boosts unused in the fixture — parsed + ignored
+        if nxt is None or nxt.kind != "CARET":
+            return node
+        self._next()
+        boost = float(nxt.text) if nxt.text else 1.0
+        if node is None or boost == 1.0:
+            return node
+        return BoostNode(node, boost)
 
     def _parse_range(self, field: str, inc_lo: bool) -> Node:
         parts: list[str] = []
@@ -429,6 +444,8 @@ def collect_terms(node: Node) -> set[tuple[str, str]]:
     elif isinstance(node, PhraseNode):
         for slot in node.slots:
             out.update((node.field, t) for t in slot)
+    elif isinstance(node, BoostNode):
+        out.update(collect_terms(node.child))
     elif isinstance(node, BoolNode):
         for _, child in node.clauses:
             out.update(collect_terms(child))
@@ -441,6 +458,8 @@ def collect_patterns(node: Node) -> set[tuple[str, str]]:
     out: set[tuple[str, str]] = set()
     if isinstance(node, WildcardNode):
         out.add((node.field, node.pattern))
+    elif isinstance(node, BoostNode):
+        out.update(collect_patterns(node.child))
     elif isinstance(node, BoolNode):
         for _, child in node.clauses:
             out.update(collect_patterns(child))
@@ -451,6 +470,8 @@ def collect_term_ranges(node: Node) -> set[TermRangeNode]:
     out: set[TermRangeNode] = set()
     if isinstance(node, TermRangeNode):
         out.add(node)
+    elif isinstance(node, BoostNode):
+        out.update(collect_term_ranges(node.child))
     elif isinstance(node, BoolNode):
         for _, child in node.clauses:
             out.update(collect_term_ranges(child))

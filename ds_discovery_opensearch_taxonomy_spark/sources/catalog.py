@@ -60,6 +60,16 @@ class IndexCatalog:
         m["buckets"][str(bucket)] = {"ts": time.time(), **metrics}
         self._write_manifest(m)
 
+    def results_version(self) -> int:
+        """Currently-committed results snapshot version (0 = none)."""
+        return int(self.manifest().get("results_version", 0))
+
+    def commit_results_version(self, version: int) -> None:
+        """Atomic pointer swap to a new results snapshot (os.replace)."""
+        m = self.manifest()
+        m["results_version"] = int(version)
+        self._write_manifest(m)
+
     def is_complete(self, n_buckets: int) -> bool:
         m = self.manifest()
         return "docs" in m["stages"] and len(m["buckets"]) >= n_buckets
@@ -88,8 +98,17 @@ class IndexCatalog:
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         p = self.root / table
         if table in (self.POSTINGS, self.DICTIONARY) and not (p / "_SUCCESS").exists():
-            # bucket-partitioned directory tree, written bucket-at-a-time
-            return spark.read.option("basePath", str(p)).parquet(str(p / "bucket=*"))
+            # bucket-partitioned directory tree, written bucket-at-a-time;
+            # enumerate real dirs (a literal "bucket=*" glob path makes
+            # Spark's FileStreamSink metadata probe log a spurious
+            # FileNotFoundException stack on every read)
+            parts = sorted(
+                (str(d) for d in p.glob("bucket=*") if d.is_dir()),
+                key=lambda s: int(s.rsplit("=", 1)[1]),
+            )
+            if not parts:
+                raise FileNotFoundError(f"no bucket partitions under {p}")
+            return spark.read.option("basePath", str(p)).parquet(*parts)
         return spark.read.parquet(str(p))
 
     def table_bytes(self, table: str) -> int:

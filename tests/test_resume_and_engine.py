@@ -175,3 +175,41 @@ def test_incremental_stream(spark, engine, corpus, tmp_path):
     ]
     for r in res.where(res.doc_id.isin(streamed_ids[:5])).collect():
         assert sorted(r["category_ids"]) == sorted(batch[r["doc_id"]])
+
+
+def test_save_results_crash_between_write_and_swap(spark, engine, monkeypatch):
+    """A crash AFTER the new snapshot is written but BEFORE the manifest
+    pointer swap must leave the previous results table fully readable
+    (round-1 verdict: the old double-overwrite lost the table)."""
+    from pyspark.sql import functions as F
+
+    if engine.reader.cat.results_version() == 0:  # self-sufficient solo run
+        engine.save_results(engine.categorise_all())
+    before = {r["doc_id"]: r["category_ids"] for r in engine.results().collect()}
+    v_before = engine.reader.cat.results_version()
+
+    boom = RuntimeError("injected crash before pointer swap")
+    monkeypatch.setattr(
+        engine.reader.cat,
+        "commit_results_version",
+        lambda v: (_ for _ in ()).throw(boom),
+    )
+    update = engine.results().limit(2).select(
+        "doc_id", F.array(F.lit("CRASH")).alias("category_ids")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        engine.save_results(update)
+    monkeypatch.undo()
+
+    # old snapshot still live and byte-complete
+    assert engine.reader.cat.results_version() == v_before
+    after = {r["doc_id"]: r["category_ids"] for r in engine.results().collect()}
+    assert after == before
+
+    # a subsequent save commits normally over the aborted attempt
+    engine.save_results(update)
+    got = {r["doc_id"]: r["category_ids"] for r in engine.results().collect()}
+    changed = [d for d, c in got.items() if list(c) == ["CRASH"]]
+    assert len(changed) == 2 and len(got) == len(before)

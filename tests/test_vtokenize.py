@@ -1,0 +1,153 @@
+"""Differential tests: vectorized unique-span tokenizer vs the per-row
+reference semantics (functions/analysis.py applied doc-at-a-time).
+
+The vectorized path (functions/vtokenize.py) must produce byte-identical
+postings — (term_id, doc_id, tf, dl, positions) — to running
+``analysis.analyze`` per document and aggregating per (doc, term), for every
+analyzer chain.  Reference semantics: Lucene analyzer chains per
+IAViewTextNoCasNoPuncAnalyser.cs:65-91 etc. (SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from ds_discovery_opensearch_taxonomy_spark.config import (
+    TEXT_CAS_NO_PUNC,
+    TEXT_CAS_PUNC,
+    TEXT_GEN,
+    TEXT_NO_CAS_NO_PUNC,
+)
+from ds_discovery_opensearch_taxonomy_spark.functions import analysis, codec
+from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
+    ChunkTokenizer,
+    term_id_of,
+)
+from ds_discovery_opensearch_taxonomy_spark.sources.corpus import (
+    AIR_DOC,
+    STRESS_FRAGMENTS,
+)
+
+ANALYZERS = [TEXT_NO_CAS_NO_PUNC, TEXT_GEN, TEXT_CAS_NO_PUNC, TEXT_CAS_PUNC]
+
+
+def reference_postings(analyzer: str, field: str, texts: list[str]):
+    """Per-row oracle: analyze each doc independently, aggregate (doc, term).
+    Returns {(doc_idx, term_id): (tf, dl, positions)}."""
+    out = {}
+    for i, text in enumerate(texts):
+        toks = analysis.analyze(analyzer, text or "")
+        if not toks:
+            continue
+        per_term: dict[str, list[int]] = {}
+        for term, pos in toks:
+            per_term.setdefault(term, []).append(pos)
+        dl = len(toks)
+        for term, poss in per_term.items():
+            out[(i, term_id_of(field, term))] = (len(poss), dl, poss)
+    return out
+
+
+def vectorized_postings(analyzer: str, field: str, texts: list[str]):
+    tok = ChunkTokenizer([(field, analyzer, ["content"])])
+    doc_ids = np.arange(len(texts), dtype=np.int64)
+    results = tok.tokenize({"content": texts}, doc_ids)
+    out = {}
+    for r in results:
+        tfs = r["tf"]
+        offs, flat = codec.decode_positions(
+            tfs, b""  # placeholder, decoded below
+        ) if False else (None, None)
+        # decode the chunk position stream per posting
+        bounds = r["pos_bounds"]
+        for j in range(len(r["term_id"])):
+            blob = r["pos_data"][int(bounds[j]) : int(bounds[j + 1])]
+            deltas = codec.varbyte_decode(blob).astype(np.int64)
+            poss = np.cumsum(deltas).tolist()
+            out[(int(r["doc_id"][j]), int(r["term_id"][j]))] = (
+                int(tfs[j]),
+                int(r["dl"][j]),
+                poss,
+            )
+    return out
+
+
+def _fuzz_texts(seed: int, n: int) -> list[str]:
+    rng = random.Random(seed)
+    pieces = list(STRESS_FRAGMENTS) + [
+        AIR_DOC,
+        "foo.bar.baz", "a@b.com", "1.2.3", "x_y_z", "U.S.A.", "end.",
+        "'quoted'", "--", "...", ",lead", "trail,", "é", "Ångström",
+        "naïve café", "ABCDef", "camelCase", "snake_case", "100x200",
+        "3/4", "a,b,,c", "don’t", "O'Neil's", "MI5's", "日本語", "漢字123",
+        "x1,000,000", "wi-fi", "e.e.c.", "A&B", "p@q", "​zero​width",
+        "tab\tsep", "new\nline", "", " ", "  double  space ",
+    ]
+    words = ["alpha", "beta", "Gamma", "DELTA", "x12", "99", "the", "of"]
+    texts = []
+    for _ in range(n):
+        k = rng.randint(0, 30)
+        toks = [
+            rng.choice(pieces) if rng.random() < 0.4 else rng.choice(words)
+            for _ in range(k)
+        ]
+        texts.append(" ".join(toks))
+    return texts
+
+
+@pytest.mark.parametrize("analyzer", ANALYZERS)
+def test_vectorized_matches_reference_fuzz(analyzer):
+    texts = _fuzz_texts(seed=hash(analyzer) % 1000, n=120)
+    ref = reference_postings(analyzer, "f", texts)
+    vec = vectorized_postings(analyzer, "f", texts)
+    assert set(ref) == set(vec)
+    for key in ref:
+        assert ref[key] == vec[key], (key, ref[key], vec[key])
+
+
+def test_vectorized_multi_column_join_matches_space_concat():
+    """Multi-source-column fields must behave like the reference's copy_to
+    with a single-space join (InMemoryCategoriserRepository.cs:260-313)."""
+    contents = ["alpha beta", "Czech-oslovakia report", "", "end."]
+    paths = ["src/WO_12/x.py", "AIR 37/177", "p", ""]
+    tok = ChunkTokenizer([("f", TEXT_NO_CAS_NO_PUNC, ["content", "path"])])
+    results = tok.tokenize(
+        {"content": contents, "path": paths},
+        np.arange(len(contents), dtype=np.int64),
+    )
+    joined = [f"{c} {p}" for c, p in zip(contents, paths)]
+    ref = reference_postings(TEXT_NO_CAS_NO_PUNC, "f", joined)
+    vec = {}
+    for r in results:
+        bounds = r["pos_bounds"]
+        for j in range(len(r["term_id"])):
+            blob = r["pos_data"][int(bounds[j]) : int(bounds[j + 1])]
+            poss = np.cumsum(codec.varbyte_decode(blob).astype(np.int64)).tolist()
+            vec[(int(r["doc_id"][j]), int(r["term_id"][j]))] = (
+                int(r["tf"][j]),
+                int(r["dl"][j]),
+                poss,
+            )
+    assert ref == vec
+
+
+def test_cache_reuse_across_chunks_is_consistent():
+    """Second chunk through the same ChunkTokenizer (warm caches) must give
+    identical postings to a cold tokenizer."""
+    texts = _fuzz_texts(seed=7, n=60)
+    warm = ChunkTokenizer([("f", TEXT_NO_CAS_NO_PUNC, ["content"])])
+    warm.tokenize({"content": texts}, np.arange(len(texts), dtype=np.int64))
+
+    def collect(tok):
+        rs = tok.tokenize({"content": texts}, np.arange(len(texts), dtype=np.int64))
+        return {
+            (int(d), int(t)): (int(tf), int(dl))
+            for r in rs
+            for d, t, tf, dl in zip(r["doc_id"], r["term_id"], r["tf"], r["dl"])
+        }
+
+    cold = ChunkTokenizer([("f", TEXT_NO_CAS_NO_PUNC, ["content"])])
+    assert collect(warm) == collect(cold)

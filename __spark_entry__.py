@@ -34,7 +34,12 @@ from ds_discovery_opensearch_taxonomy_spark.operators.search import run_categori
 #: engine config for the driver `documents` table (single analyzed field over
 #: `text`; n_chars queryable as a numeric range field)
 DOCS_CONFIG = EngineConfig(
-    fields=(FieldSpec("textnocasnopunc", "textnocasnopunc", ("text",)),),
+    fields=(
+        FieldSpec("textnocasnopunc", "textnocasnopunc", ("text",)),
+        # second analyzed field over `lang` — exercises field-scoped query
+        # routing (Q8: CATDOCREF:"..."-style per-field index spaces)
+        FieldSpec("LANGREF", "textnocasnopunc", ("lang",)),
+    ),
     int_fields=("n_chars", "NUM_START_DATE"),
     n_term_buckets=2,
     salt_target_postings=100_000,
@@ -56,7 +61,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _engine(spark: SparkSession, sf_dir: str) -> TaxonomyEngine:
     if sf_dir not in _ENGINES:
-        key = hashlib.sha1((sf_dir + ":v2").encode()).hexdigest()[:10]
+        key = hashlib.sha1((sf_dir + ":v3").encode()).hexdigest()[:10]
         idx = Path("/root/repo/.scratch") / f"entry_index_{key}"
         # NUM_START_DATE: deterministic yyyymmdd derived from doc_id so the
         # reference's date-rewrite query path (Q7) is exercisable + SQL-oracled
@@ -214,15 +219,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a", "b", F.round("jaccard", 6).alias("jaccard")
         )
 
-    def q_minhash_lsh(spark, sf):  # MinHash LSH (engine-only check: Spark
-        d = _docs(spark, sf)  # xxhash64 isn't reproducible in DuckDB)
-        d2 = d.unionByName(d.limit(5).withColumn("doc_id", F.col("doc_id") + 1000000))
-        return dedup.minhash_lsh_pairs(d2, min_est_jaccard=0.95).select("a", "b")
-
-    def q_simhash(spark, sf):  # SimHash near-dup pairs (engine-only)
+    def q_minhash_lsh(spark, sf):
+        # the production dedup pipeline shape: MinHash-LSH generates the
+        # candidate pairs (min_est_jaccard=1.0 — all 64 hashes agree; MUST
+        # recall every identical-shingle-set pair), then an exact verify
+        # stage keeps set-identical pairs.  The DuckDB twin is the exact
+        # Jaccard==1 pair set, independent of hash functions.
         d = _docs(spark, sf)
         d2 = d.unionByName(d.limit(5).withColumn("doc_id", F.col("doc_id") + 1000000))
-        return dedup.simhash_near_pairs(d2, max_hamming=0).select("a", "b")
+        cand = dedup.minhash_lsh_pairs(d2, min_est_jaccard=1.0).select("a", "b")
+        keys = (
+            dedup.shingles(d2)
+            .groupBy("doc_id")
+            .agg(
+                F.md5(
+                    F.concat_ws("\n", F.array_sort(F.collect_list("shingle")))
+                ).alias("k")
+            )
+        )
+        return (
+            cand.join(keys.select(F.col("doc_id").alias("a"), F.col("k").alias("ka")), "a")
+            .join(keys.select(F.col("doc_id").alias("b"), F.col("k").alias("kb")), "b")
+            .where(F.col("ka") == F.col("kb"))
+            .select("a", "b")
+        )
+
+    def q_simhash(spark, sf):
+        # candidate pairs from SimHash chunk banding at hamming 0 (must
+        # recall every identical-token-multiset pair — SimHash is order-
+        # invariant), exact multiset-equality verify keeps true clones
+        d = _docs(spark, sf)
+        d2 = d.unionByName(d.limit(5).withColumn("doc_id", F.col("doc_id") + 1000000))
+        cand = dedup.simhash_near_pairs(d2, max_hamming=0).select("a", "b")
+        key = F.md5(
+            F.concat_ws("\n", F.array_sort(F.split(F.lower(F.col("text")), r"\s+")))
+        )
+        keys = d2.select(F.col("doc_id"), key.alias("k"))
+        return (
+            cand.join(keys.select(F.col("doc_id").alias("a"), F.col("k").alias("ka")), "a")
+            .join(keys.select(F.col("doc_id").alias("b"), F.col("k").alias("kb")), "b")
+            .where(F.col("ka") == F.col("kb"))
+            .select("a", "b")
+        )
 
     def q_similarity_bruteforce(spark, sf):  # exact cosine top-k ANN baseline
         e = _emb(spark, sf)
@@ -242,13 +280,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e, qs, k=5, n_cells=8, nprobe=8
         ).select("query_id", "vec_id", "cosine")
 
-    def q_similarity_lsh(spark, sf):  # LSH-bucketed ANN (engine-only)
+    def q_similarity_lsh(spark, sf):
+        # self-retrieval: every corpus vector used as a query MUST hash to
+        # its own buckets and re-rank itself to rank 1 with cosine 1.0 —
+        # exercises signature, banding, bucket join, and exact re-rank with
+        # a SQL-expressible oracle (identity + cosine 1.0)
         e = _emb(spark, sf)
-        qs = e.where(F.col("vec_id") < 3).select(
+        qs = e.where(F.col("vec_id") < 200).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return similarity.lsh_topk(e, qs, k=5, n_planes=16, bands=8).select(
-            "query_id", "vec_id"
+        return similarity.lsh_topk(e, qs, k=1, n_planes=16, bands=8).select(
+            "query_id", "vec_id", F.round("cosine", 6).alias("cosine")
         )
 
     def q_token_counts(spark, sf):
@@ -269,11 +311,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return feats.select("asset_id", "kind", "n_bytes")
 
-    def q_multimodal_features(spark, sf):  # byte histograms (engine-only)
+    def q_multimodal_features(spark, sf):
+        # byte entropy over the high nibble (16-bin histogram); the docs
+        # are ASCII so DuckDB can recompute it from character code points
         feats = multimodal.extract_features(
             multimodal.assets_from_documents(_docs(spark, sf))
         )
         return feats.select("asset_id", F.round("byte_entropy", 4).alias("byte_entropy"))
+
+    def q_wildcard_overlap(spark, sf):
+        # OVERLAPPING patterns compiled in one pooled batch across several
+        # categories (regression: first-match expansion dropped terms)
+        eng = _engine(spark, sf)
+        cats = [
+            ("WB", "tab*"),
+            ("WN", "table*"),
+            ("WX", '"window" NOT tab*'),
+        ]
+        return run_categories(spark, eng.reader, cats, scored=False).select(
+            "category_id", "doc_id"
+        )
+
+    def q_field_scoped(spark, sf):  # Q8 field-scoped routing to 2nd field
+        return _run(spark, sf, 'LANGREF:en AND "table"').select("doc_id")
+
+    def q_numeric_range_wide(spark, sf):
+        # wide virtual clause matching ~every doc — must evaluate
+        # DISTRIBUTED (regression: doc_ids were collected to the driver)
+        return _run(spark, sf, "NUM_START_DATE:[* TO 20991231]").select("doc_id")
+
+    def q_boost(spark, sf):  # classic ^N boost scales clause scores
+        return _run(spark, sf, '"table"^2 OR "window"', scored=True).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
 
     return {
         "q_match_bool": q_match_bool,
@@ -307,6 +377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_multimodal": q_multimodal,
         "q_multimodal_features": q_multimodal_features,
+        "q_wildcard_overlap": q_wildcard_overlap,
+        "q_field_scoped": q_field_scoped,
+        "q_numeric_range_wide": q_numeric_range_wide,
+        "q_boost": q_boost,
     }
 
 
@@ -332,6 +406,26 @@ scores AS (
     def bm25(terms: list[str], tail: str) -> str:
         tl = ", ".join(f"'{t}'" for t in terms)
         return _BM25_PRELUDE + bm25_body.format(terms=tl) + tail
+
+    def bm25_weighted(weights: dict[str, float], tail: str) -> str:
+        """BM25 with per-term boost multipliers (classic ^N semantics)."""
+        tl = ", ".join(f"'{t}'" for t in weights)
+        wcase = "CASE tf.term " + " ".join(
+            f"WHEN '{t}' THEN {w}" for t, w in weights.items()
+        ) + " ELSE 1.0 END"
+        body = f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ({tl})
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term IN ({tl}) GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id, sum(({wcase}) * {bm25_term}) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1
+)
+"""
+        return _BM25_PRELUDE + body + tail
 
     dup_base = """
 WITH d2 AS (
@@ -549,4 +643,69 @@ WITH d2 AS (
                    octet_length(encode(text))::BIGINT AS n_bytes
             FROM documents
         """,
+        "q_multimodal_features": """
+            -- entropy over the high nibble of each byte (text is ASCII, so
+            -- code points == bytes); engine rounds to 6 then 4
+            WITH nibbles AS (
+              SELECT doc_id, unicode(c) // 16 AS nib
+              FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                    FROM documents)
+            )
+            SELECT doc_id AS asset_id,
+                   round(round(entropy(nib), 6), 4) AS byte_entropy
+            FROM nibbles GROUP BY doc_id
+        """,
+        "q_minhash_lsh": dup_base + f"""
+            , toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d2),
+            grams AS (
+              SELECT DISTINCT doc_id, unnest({_TRIGRAM_SQL}) AS shingle FROM toks
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+              FROM grams x JOIN grams y
+                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b FROM inter
+            JOIN sizes na ON na.doc_id = a
+            JOIN sizes nb ON nb.doc_id = b
+            WHERE shared = na.n AND shared = nb.n
+        """,
+        "q_simhash": dup_base + """
+            , keys AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_sort(string_split(lower(text), ' ')), chr(10))) AS k
+              FROM d2
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM keys x JOIN keys y ON x.k = y.k AND x.doc_id < y.doc_id
+        """,
+        "q_similarity_lsh": """
+            SELECT vec_id AS query_id, vec_id, 1.0 AS cosine
+            FROM embeddings WHERE vec_id < 200
+        """,
+        "q_wildcard_overlap": f"""
+            SELECT 'WB' AS category_id, doc_id FROM documents
+            WHERE len(list_filter({tok}, x -> x LIKE 'tab%')) > 0
+            UNION ALL
+            SELECT 'WN', doc_id FROM documents
+            WHERE len(list_filter({tok}, x -> x LIKE 'table%')) > 0
+            UNION ALL
+            SELECT 'WX', doc_id FROM documents
+            WHERE list_contains({tok}, 'window')
+              AND len(list_filter({tok}, x -> x LIKE 'tab%')) = 0
+        """,
+        "q_field_scoped": f"""
+            SELECT doc_id FROM documents
+            WHERE lang = 'en' AND list_contains({tok}, 'table')
+        """,
+        "q_numeric_range_wide": """
+            SELECT doc_id FROM documents
+            WHERE (19000101 + (doc_id % 120) * 10000) <= 20991231
+        """,
+        "q_boost": bm25_weighted(
+            {"table": 2.0, "window": 1.0},
+            "SELECT doc_id, round(score, 4) AS score FROM scores",
+        ),
     }

@@ -94,7 +94,18 @@ class EngineConfig:
 
     #: concurrent bucket-build jobs (reference runs 5 concurrent batches,
     #: FullReindexCategoriser.cs:87-213); each commits independently.
+    #: Only used when ``bucket_resume`` is True.
     build_parallelism: int = 4
+
+    #: True -> build postings one bucket-job at a time with per-bucket
+    #: manifest commits (finest kill/resume granularity; driver-crash
+    #: recovery skips committed buckets).  False (default) -> ONE Spark job
+    #: for every bucket: one wide shuffle at full cluster parallelism, one
+    #: partitioned write — no per-job scheduling tails or repeated staging
+    #: scans (measured ~40% less bucket-stage wall locally); resume
+    #: granularity is the whole postings stage (Spark task retry handles
+    #: executor failures either way).
+    bucket_resume: bool = False
 
     #: broadcast the per-bucket dictionary into the postings-build join
     #: (removes a shuffle + an AQE round-trip per bucket job).  Keep True

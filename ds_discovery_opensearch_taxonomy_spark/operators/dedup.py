@@ -16,14 +16,8 @@ bounded (hash group, band bucket) rather than by document pairs.
 
 from __future__ import annotations
 
-import hashlib
-from functools import lru_cache
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 SEED = 42
 
@@ -80,12 +74,18 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 3,
     min_est_jaccard: float = 0.5,
+    max_bucket: int | None = 2048,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH, with the
     signature-estimated Jaccard: (a, b, est_jaccard), a < b.
 
     Scale shape: bucket join on (band, band_hash) — only colliding docs
-    shuffle together; the estimated-Jaccard verify runs on candidates only."""
+    shuffle together; the estimated-Jaccard verify runs on candidates only.
+    ``max_bucket`` bounds docs per bucket: a bucket of B identical docs
+    otherwise emits B²/2 candidate rows (quadratic blowup on boilerplate /
+    cloned files).  Members kept deterministically (lowest doc_id); run
+    :func:`exact_duplicates` first and LSH the group representatives to
+    keep full recall on byte-identical clones."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k).cache()
     banded = sig.select(
@@ -104,6 +104,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+    banded = _cap_buckets(banded, ["band", "bh"], "doc_id", max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -136,6 +137,23 @@ def minhash_lsh_pairs(
         )
     )
     return est.where(F.col("est_jaccard") >= min_est_jaccard)
+
+
+def _cap_buckets(
+    df: DataFrame, keys: list[str], order_col: str, max_bucket: int | None
+) -> DataFrame:
+    """Keep at most ``max_bucket`` rows per bucket (deterministic: lowest
+    ``order_col`` first).  Bounds candidate-pair fan-out to max_bucket²/2
+    per bucket; the window shuffle reuses the same partitioning the
+    candidate self-join needs anyway."""
+    if max_bucket is None:
+        return df
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_bucket)
+        .drop("_rk")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -174,48 +192,31 @@ def ngram_jaccard_pairs(
 # -- SimHash ------------------------------------------------------------------
 
 
-@lru_cache(maxsize=1 << 18)
-def _token_hash64(token: str) -> int:
-    return int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8).digest(), "big")
-
-
-SIMHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("simhash", T.LongType(), False),
-    ]
-)
-
-
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc (token tf-weighted, blake2b token hashes) —
-    Arrow-vectorized pandas UDF; the bit-vote accumulation is a NumPy
-    matrix op per batch."""
-
-    def run(batches):
-        powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy()
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf[text_col]):
-                toks = str(text).lower().split()
-                if not toks:
-                    continue
-                uniq: dict[str, int] = {}
-                for t in toks:
-                    uniq[t] = uniq.get(t, 0) + 1
-                hs = np.array([_token_hash64(t) for t in uniq], dtype=np.uint64)
-                ws = np.array(list(uniq.values()), dtype=np.float64)
-                bits = ((hs[:, None] & powers[None, :]) != 0).astype(np.float64)
-                votes = (bits * 2 - 1).T @ ws
-                sh = np.uint64(0)
-                sh = (powers[votes > 0]).sum(dtype=np.uint64)
-                out[i] = np.int64(np.uint64(sh))
-            yield pd.DataFrame({"doc_id": ids, "simhash": out})
-
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
-        run, SIMHASH_SCHEMA
+    """64-bit SimHash per doc (token tf-weighted, xxhash64 token hashes) —
+    pure JVM: explode tokens, one groupBy(doc) with 64 conditional-sum
+    bit-vote aggregations (map-side combinable, whole-stage codegen), then
+    the signature is assembled from the vote signs.  Zero Python in the
+    path; occurrence-weighted votes == tf-weighted votes."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = F.xxhash64(F.lit(SEED), F.col("tok"))
+    bit = lambda i: F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1  # noqa: E731
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(bit(i), 1).otherwise(-1)).alias(f"v{i}")
+            for i in range(64)
+        ]
     )
+    # sum of distinct powers of two == the bit pattern; bit 63 is added as
+    # the int64 sign value so nothing overflows under ANSI arithmetic
+    sig = F.lit(0).cast("long")
+    for i in range(63):
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0).cast("long")
+    sig = sig + F.when(F.col("v63") > 0, F.lit(-(2**63))).otherwise(0).cast("long")
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -223,10 +224,12 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int | None = 2048,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band each signature into 4 x 16-bit chunks
     (pigeonhole: hamming<=3 implies >=1 identical chunk), join on chunks,
-    verify exact hamming distance JVM-side (bit_count(xor))."""
+    verify exact hamming distance JVM-side (bit_count(xor)).
+    ``max_bucket`` bounds docs per chunk bucket (see minhash_lsh_pairs)."""
     sigs = simhash(df, text_col, id_col).cache()
     chunks = sigs.select(
         "doc_id",
@@ -243,6 +246,7 @@ def simhash_near_pairs(
             )
         ).alias("cc"),
     ).select("doc_id", "simhash", "cc.chunk", "cc.cv")
+    chunks = _cap_buckets(chunks, ["chunk", "cv"], "doc_id", max_bucket)
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(

@@ -411,6 +411,104 @@ def make_block_builder(
     return run
 
 
+def _salt_postings(
+    staged: DataFrame, dict_df: DataFrame, config: EngineConfig
+) -> DataFrame:
+    """Join staged postings with per-term (df, ford) and compute the
+    doc_id-top-bits salt for heavy terms: per-salt posting runs are
+    contiguous, signed-order monotone (top bit flipped), bounded, and
+    globally mergeable by concatenation."""
+    max_bits = int(math.log2(config.max_salts))
+    if config.broadcast_dictionary:
+        dict_df = F.broadcast(dict_df)
+    return (
+        staged.join(dict_df, ["term_id"])
+        .withColumn(
+            "salt_bits",
+            F.least(
+                F.greatest(
+                    F.ceil(
+                        F.log2(F.col("df") / F.lit(config.salt_target_postings))
+                    ).cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(max_bits),
+            ),
+        )
+        .withColumn(
+            "salt",
+            F.expr(
+                "cast(case when salt_bits <= 0 then 0 else "
+                "shiftrightunsigned(doc_id, 64 - salt_bits) ^ shiftleft(1L, salt_bits - 1) "
+                "end as int)"
+            ),
+        )
+    )
+
+
+def _build_postings_single_job(
+    spark: SparkSession, cat: IndexCatalog, config: EngineConfig, builder
+) -> None:
+    """All buckets in ONE Spark job: staging scan -> dictionary join ->
+    one wide (term_id, salt) shuffle -> sorted block build -> bucket-
+    partitioned write.  Full cluster parallelism throughout — no per-bucket
+    job tails (the round-1 loop's bucket stage scaled 1.6x/4 because each
+    of 8 jobs serialized its own shuffle+sort+write phases)."""
+    staged_all = spark.read.parquet(cat.path(IndexCatalog.STAGING)).select(
+        "term_id", "doc_id", "tf", "dl", "pos_bytes"
+    )
+    dict_all = cat.read(spark, IndexCatalog.DICTIONARY).select(
+        "term_id", "df", "ford"
+    )
+    salted = _salt_postings(staged_all, dict_all, config)
+    n_parts = max(2 * spark.sparkContext.defaultParallelism, 16)
+    blocks = (
+        salted.repartition(n_parts, "term_id", "salt")
+        .sortWithinPartitions("term_id", "salt", "doc_id")
+        .mapInArrow(builder, BLOCKS_SCHEMA)
+        .withColumn(
+            "bucket", F.pmod(F.col("term_id"), F.lit(config.n_term_buckets))
+        )
+    )
+    obs = Observation("postings")
+    blocks = blocks.observe(
+        obs, F.count(F.lit(1)).alias("blocks"), F.sum("n").alias("postings")
+    )
+    cat.write(blocks, IndexCatalog.POSTINGS, partition_by=["bucket"])
+    m = obs.get
+    # per-bucket lineage rows (metrics scan reads 2 pruned columns of the
+    # small blocks table) so is_complete()/committed_buckets() see the
+    # same manifest shape as the resumable loop
+    per_bucket = {
+        int(r["bucket"]): (int(r["blocks"]), int(r["postings"]))
+        for r in spark.read.parquet(cat.path(IndexCatalog.POSTINGS))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("blocks"), F.sum("n").alias("postings"))
+        .collect()
+    }
+    terms_per_bucket = {
+        int(r["bucket"]): int(r["n"])
+        for r in cat.read(spark, IndexCatalog.DICTIONARY)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for bucket in range(config.n_term_buckets):
+        nblocks, nposts = per_bucket.get(bucket, (0, 0))
+        cat.commit_bucket(
+            bucket,
+            {
+                "blocks": nblocks,
+                "postings": nposts,
+                "terms": terms_per_bucket.get(bucket, 0),
+                "bytes": cat.table_bytes(
+                    f"{IndexCatalog.POSTINGS}/bucket={bucket}"
+                ),
+            },
+        )
+    assert int(m["blocks"]) == sum(b for b, _ in per_bucket.values())
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -561,6 +659,9 @@ def build_index(
     )
     done = cat.committed_buckets()
     todo = [b for b in range(config.n_term_buckets) if b not in done]
+    if todo and not config.bucket_resume:
+        _build_postings_single_job(spark, cat, config, builder)
+        todo = []
     if todo:
         import threading
         from concurrent.futures import ThreadPoolExecutor
@@ -571,7 +672,6 @@ def build_index(
             int(r["bucket"]): int(r["n"])
             for r in dict_all.groupBy("bucket").agg(F.count("*").alias("n")).collect()
         }
-        max_bits = int(math.log2(config.max_salts))
         manifest_lock = threading.Lock()
 
         def do_bucket(bucket: int) -> None:
@@ -585,34 +685,7 @@ def build_index(
             dict_b = dict_all.where(F.col("bucket") == bucket).select(
                 "term_id", "df", "ford"
             )
-            # salt heavy terms by doc_id top bits — contiguous, signed-order-
-            # monotone ranges (top bit flipped), so per-salt posting runs are
-            # bounded AND globally mergeable by concatenation
-            if config.broadcast_dictionary:
-                dict_b = F.broadcast(dict_b)
-            salted = (
-                staged_b.join(dict_b, ["term_id"])
-                .withColumn(
-                    "salt_bits",
-                    F.least(
-                        F.greatest(
-                            F.ceil(
-                                F.log2(F.col("df") / F.lit(config.salt_target_postings))
-                            ).cast("int"),
-                            F.lit(0),
-                        ),
-                        F.lit(max_bits),
-                    ),
-                )
-                .withColumn(
-                    "salt",
-                    F.expr(
-                        "cast(case when salt_bits <= 0 then 0 else "
-                        "shiftrightunsigned(doc_id, 64 - salt_bits) ^ shiftleft(1L, salt_bits - 1) "
-                        "end as int)"
-                    ),
-                )
-            )
+            salted = _salt_postings(staged_b, dict_b, config)
             # enough tasks per job that concurrent bucket jobs can fill
             # freed slots (finer granularity costs little; too-coarse tasks
             # leave cores idle during each job's tail)

@@ -71,6 +71,11 @@ class IndexReader:
 
         self.compile_cache: OrderedDict = OrderedDict()
         self.compile_cache_max = 64
+        #: per-(virtual key, band_bits) materialized+persisted block DFs —
+        #: a metadata clause's doc set is immutable for this index snapshot,
+        #: so each clause pays its docs-table scan once per reader, not once
+        #: per query run
+        self._virtual_cache: dict = {}
 
     # -- tables -------------------------------------------------------------
 
@@ -330,28 +335,45 @@ def build_virtual_blocks(
 ) -> DataFrame:
     """Materialize metadata clauses as posting blocks (BLOCKS_SCHEMA).
 
-    One distributed pass: docs-table predicate scan per clause (filters
-    push down) -> band+salt from doc_id bits (signed-order monotone, same
-    scheme as the index build) -> per (term_id, band, salt) group sort +
-    gap/varbyte encode.  Groups are bounded by corpus/(bands*2^salt_bits);
-    tfs/dls/posdata are constant-1/0 streams so the normal decode path works
-    unchanged (virtual sets score constant 1.0)."""
+    One distributed pass per NEW clause (cached+persisted per reader
+    afterwards — the doc set is immutable for an index snapshot): docs-table
+    predicate scan (filters push down) -> band+salt from doc_id bits
+    (signed-order monotone, same scheme as the index build) -> per
+    (term_id, band, salt) group sort + gap/varbyte encode.  Groups are
+    bounded by corpus/(bands*2^salt_bits); tfs/dls/posdata are constant-1/0
+    streams so the normal decode path works unchanged (virtual sets score
+    constant 1.0)."""
+    parts = []
+    for key in sorted(virtual):
+        ckey = (key, band_bits)
+        cached = reader._virtual_cache.get(ckey)
+        if cached is None:
+            cached = _encode_virtual_key(
+                reader, virtual[key], tid_map[(VIRTUAL_FIELD, key)], config,
+                band_bits,
+            ).persist()
+            reader._virtual_cache[ckey] = cached
+        parts.append(cached)
+    vdf = parts[0]
+    for p in parts[1:]:
+        vdf = vdf.unionByName(p)
+    return vdf
+
+
+def _encode_virtual_key(
+    reader: IndexReader,
+    node: qp.Node,
+    vtid: int,
+    config: EngineConfig,
+    band_bits: int,
+) -> DataFrame:
     from ds_discovery_opensearch_taxonomy_spark.operators.index_build import (
         BLOCKS_SCHEMA,
     )
 
-    docs = reader.docs()
-    parts = []
-    for key in sorted(virtual):
-        vtid = tid_map[(VIRTUAL_FIELD, key)]
-        parts.append(
-            docs.where(virtual_condition(virtual[key])).select(
-                F.lit(vtid).cast("long").alias("term_id"), F.col("doc_id")
-            )
-        )
-    vdf = parts[0]
-    for p in parts[1:]:
-        vdf = vdf.unionByName(p)
+    vdf = reader.docs().where(virtual_condition(node)).select(
+        F.lit(vtid).cast("long").alias("term_id"), F.col("doc_id")
+    )
     tot = band_bits + _VIRTUAL_SALT_BITS
     # top `tot` bits of doc_id with the sign bit flipped: monotone over
     # signed doc_id order; high bits -> band, low bits -> salt

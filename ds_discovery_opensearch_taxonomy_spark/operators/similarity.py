@@ -94,27 +94,44 @@ def lsh_signatures(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, band, bucket): sign-bit signature of each vector against the
-    hyperplanes, chunked into bands — JVM expressions only (the plane dots
-    are unrolled aggregate expressions over array literals)."""
+    hyperplanes, chunked into bands.
+
+    One Arrow-vectorized matmul per batch (``X @ planes.T``): at real
+    embedding dims an unrolled per-plane literal expression tree
+    (dim x n_planes literals) blows up Catalyst; the planes ship in the
+    task closure instead and the whole signature is two NumPy ops."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
     n_planes, _dim = planes.shape
     rows_per_band = n_planes // bands
-    sign_bits = []
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
-        sign_bits.append((_dot(F.col(vec_col), plane) > 0).cast("int"))
-    out = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col), *[
-        b.alias(f"s{p}") for p, b in enumerate(sign_bits)
-    ])
-    band_structs = []
-    for bi in range(bands):
-        bits = [F.col(f"s{bi * rows_per_band + j}") for j in range(rows_per_band)]
-        bucket = bits[0].cast("long")
-        for bcol in bits[1:]:
-            bucket = bucket * 2 + bcol
-        band_structs.append(F.struct(F.lit(bi).alias("band"), bucket.alias("bucket")))
-    return out.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("vec_id", "bb.band", "bb.bucket")
+    weights = (1 << np.arange(rows_per_band)[::-1]).astype(np.int64)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("bucket", T.LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (x @ planes.T) > 0  # (n, n_planes)
+            buckets = bits.reshape(n, bands, rows_per_band).astype(np.int64) @ weights
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    return embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(run, schema)
 
 
 def lsh_topk(
@@ -126,13 +143,26 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_bucket: int | None = 65536,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = corpus vectors sharing >= 1
     LSH band bucket with the query; exact cosine re-rank on candidates.
-    Returns (query_id, vec_id, cosine, rank)."""
+    Returns (query_id, vec_id, cosine, rank).
+
+    ``max_bucket`` bounds corpus members per (band, bucket) — a degenerate
+    bucket (e.g. many identical vectors) would otherwise fan out
+    |bucket| x |queries| candidate rows; members are kept deterministically
+    (lowest vec_id) and the bound is a recall trade documented to callers."""
     dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes)
     e_sig = lsh_signatures(embeddings, planes, bands, id_col, vec_col)
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "bucket").orderBy("vec_id")
+        e_sig = (
+            e_sig.withColumn("_rk", F.row_number().over(wb))
+            .where(F.col("_rk") <= max_bucket)
+            .drop("_rk")
+        )
     q_sig = lsh_signatures(queries, planes, bands, query_id_col, vec_col).withColumnRenamed(
         "vec_id", "query_id"
     )
@@ -170,14 +200,26 @@ def train_centroids(
     sample: int = 4096,
     iters: int = 10,
     seed: int = SEED,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic Lloyd k-means on a driver-side sample (L2-normalized, so
-    nearest-centroid by dot product == by cosine).  The sample is the first
-    ``sample`` rows by a hash order (seeded, reproducible), which at corpus
-    scale is an unbiased-enough coarse quantizer; centroids are (C, dim)."""
+    nearest-centroid by dot product == by cosine); centroids are (C, dim).
+
+    Sampling is a HASH-THRESHOLD filter on the id column (seeded,
+    content-deterministic): survivors ~ 2x the requested sample, then a
+    tiny sort of just the survivors pins the exact subset.  No full-corpus
+    sort and no per-row string cast of the embeddings (the round-1 version
+    ordered the whole corpus by xxhash64(vec::string))."""
+    n_total = embeddings.count()  # parquet metadata count — no data scan
+    domain = 1 << 20
+    thresh = domain if n_total <= sample else max(
+        1, int(domain * min(1.0, 2.0 * sample / n_total))
+    )
+    h64 = F.xxhash64(F.lit(seed), F.col(id_col))
     rows = (
-        embeddings.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.lit(seed), F.col("v").cast("string")))
+        embeddings.select(F.col(vec_col).alias("v"), h64.alias("h"))
+        .where(F.pmod(F.col("h"), F.lit(domain)) < thresh)
+        .orderBy("h")
         .limit(sample)
         .collect()
     )
@@ -248,7 +290,11 @@ def ivf_topk(
     Scale shape: the (cell) join replaces the query x corpus cross join —
     per-query work is the probed cells' postings only, mirroring the
     inverted-index text path (cells ~ posting lists)."""
-    cents = centroids if centroids is not None else train_centroids(embeddings, n_cells, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_centroids(embeddings, n_cells, vec_col, id_col=id_col)
+    )
     e_cells = _assign_cells(embeddings, cents, id_col, vec_col, 1).withColumnRenamed(
         "id", "vec_id"
     )

@@ -19,7 +19,8 @@ from ds_discovery_opensearch_taxonomy_spark.sources.corpus import (
 # commit order (concurrent workers would commit later buckets before the
 # injected failure propagates)
 CFG = EngineConfig(
-    n_term_buckets=4, salt_target_postings=64, n_eval_bands=2, build_parallelism=1
+    n_term_buckets=4, salt_target_postings=64, n_eval_bands=2,
+    build_parallelism=1, bucket_resume=True,
 )
 N = 250
 

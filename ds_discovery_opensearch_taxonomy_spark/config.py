@@ -69,6 +69,16 @@ class EngineConfig:
     #: InMemoryCategoriserRepository.cs:236-244).
     int_fields: tuple[str, ...] = ("NUM_START_DATE", "NUM_END_DATE", "SOURCE")
 
+    #: multi-field query-string routing: when set, every clause without an
+    #: explicit FIELD: scope is searched across these (field, boost) pairs
+    #: and combined per-clause as dis-max (OpenSearch ``query_string`` with
+    #: a ``Fields`` list, default ``best_fields`` —
+    #: OpenSearchConnection.SetupSearchRequest:236-251).  None -> the single
+    #: ``default_field`` (reference useDefaultTaxonomyField=true path).
+    multi_fields: tuple[tuple[str, float], ...] | None = None
+    #: dis-max tie breaker: score = max + tie * (sum - max)
+    multi_field_tie_breaker: float = 0.0
+
     k1: float = BM25_K1
     b: float = BM25_B
     block_size: int = BLOCK_SIZE

@@ -144,6 +144,7 @@ class TaxonomyEngine:
         offset: int = 0,
         filters: dict[str, list] | None = None,
         sort_by: list[tuple[str, bool]] | None = None,
+        fields: list[str] | dict[str, float] | None = None,
     ) -> DataFrame:
         """Ad-hoc scored search with pagination (R8).
 
@@ -152,10 +153,19 @@ class TaxonomyEngine:
         reference's HELD_BY_CODE TermsQuery in filter context,
         OpenSearchConnection.cs:289-299 + Must/Filter split :393-402).
         ``sort_by`` is [(docs-metadata column, ascending)] replacing the
-        relevance order (reference SetSortOrder, OpenSearchConnection.cs:304-320)."""
+        relevance order (reference SetSortOrder, OpenSearchConnection.cs:304-320).
+        ``fields`` routes unscoped clauses across a field list (values are
+        per-field boosts when a dict) instead of the single default field —
+        the reference's useDefaultTaxonomyField=false path
+        (OpenSearchIAViewRepository.PerformSearch:151-186).  A blank query
+        matches everything (MatchAllQuery substitution,
+        OpenSearchConnection.SetupSearchRequest:252-255)."""
+        query_text = self._effective_query(query_text)
+        config = self._search_config(fields)
         if filters:
             res = search_ops.run_categories(
-                self.spark, self.reader, [("__q", query_text)], scored=True
+                self.spark, self.reader, [("__q", query_text)], scored=True,
+                config=config,
             )
             allowed = self.reader.docs()
             for col, vals in filters.items():
@@ -168,6 +178,7 @@ class TaxonomyEngine:
                 [("__q", query_text)],
                 scored=True,
                 top_k=None if sort_by else offset + limit,
+                config=config,
             )
         res = res.where(F.col("score") >= min_score)
         if sort_by:
@@ -190,9 +201,32 @@ class TaxonomyEngine:
     def count(self, query_text: str) -> int:
         return (
             search_ops.run_categories(
-                self.spark, self.reader, [("__q", query_text)], scored=False
+                self.spark,
+                self.reader,
+                [("__q", self._effective_query(query_text))],
+                scored=False,
             ).count()
         )
+
+    @staticmethod
+    def _effective_query(query_text: str) -> str:
+        """Blank API query -> match-all (the reference substitutes
+        MatchAllQuery, OpenSearchConnection.SetupSearchRequest:252-255)."""
+        return query_text if query_text and query_text.strip() else "*:*"
+
+    def _search_config(
+        self, fields: list[str] | dict[str, float] | None
+    ) -> EngineConfig:
+        if not fields:
+            return self.config
+        import dataclasses
+
+        pairs = (
+            tuple((f, float(b)) for f, b in fields.items())
+            if isinstance(fields, dict)
+            else tuple((f, 1.0) for f in fields)
+        )
+        return dataclasses.replace(self.config, multi_fields=pairs)
 
     def facets(self, column: str, limit: int = 100) -> DataFrame:
         """Terms aggregation over a docs-table metadata column (R10)."""
@@ -269,6 +303,18 @@ class _GlobalStatsOracle(OracleIndex):
                 self.terms_by_field = {node.field: sorted(doc_terms)}
                 hit, _ = OracleIndex.evaluate(self, node.source, doc)
             return hit, 1.0 if hit else 0.0
+        if isinstance(node, search_ops.ExpandedFuzzyNode):
+            # re-expand the ORIGINAL fuzzy construct over the union of the
+            # global expansion and the ad-hoc doc's own vocabulary (the
+            # reference expands against the transient per-doc index, so
+            # terms the global dictionary never saw must still match);
+            # global terms keep their global df, unseen terms score df=0
+            doc_terms = doc.fields.get(node.field, {})
+            vocab = sorted(set(node.terms) | set(doc_terms))
+            self.terms_by_field = {node.field: vocab}
+            for t in vocab:
+                self.df.setdefault((node.field, t), 0)
+            return OracleIndex.evaluate(self, node.source, doc)
         if isinstance(node, search_ops.VirtualDocsNode):
             # metadata clauses for ad-hoc docs: evaluate the original
             # Int/Id clause against the doc's own metadata (the compiled

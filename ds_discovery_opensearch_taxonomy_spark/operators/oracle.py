@@ -20,9 +20,12 @@ from ds_discovery_opensearch_taxonomy_spark.functions import analysis, scoring
 from ds_discovery_opensearch_taxonomy_spark.plans.queryparser import (
     BoolNode,
     BoostNode,
+    DisMaxNode,
+    FuzzyNode,
     IdNode,
     IntRangeNode,
     IntTermNode,
+    MatchAllNode,
     MatchNoneNode,
     Node,
     Occur,
@@ -32,6 +35,26 @@ from ds_discovery_opensearch_taxonomy_spark.plans.queryparser import (
     TermRangeNode,
     WildcardNode,
 )
+
+
+def levenshtein(a: str, b: str, cap: int | None = None) -> int:
+    """Plain edit distance (no transpositions — matches Spark/DuckDB
+    ``levenshtein``); with ``cap``, returns cap+1 once exceeded."""
+    if a == b:
+        return 0
+    if len(a) > len(b):
+        a, b = b, a
+    if cap is not None and len(b) - len(a) > cap:
+        return cap + 1
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j]
+        for i, ca in enumerate(a, 1):
+            cur.append(min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (ca != cb)))
+        if cap is not None and min(cur) > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
 
 
 @dataclass
@@ -115,6 +138,19 @@ class OracleIndex:
             out.append(t)
         return out
 
+    def expand_fuzzy(self, node: FuzzyNode, cap: int = 50) -> list[tuple[str, float]]:
+        """(term, boost) expansions within edit distance, capped like the
+        engine: (distance asc, term asc), boost ``1 - d/min_len``."""
+        matches = sorted(
+            (d, t)
+            for t in self.terms_by_field.get(node.field, [])
+            if (d := levenshtein(t, node.term, node.max_edits)) <= node.max_edits
+        )[:cap]
+        return [
+            (t, 1.0 - d / min(len(node.term), len(t)) if d else 1.0)
+            for d, t in matches
+        ]
+
     # -- evaluation ------------------------------------------------------------
 
     def evaluate(self, node: Node, doc: OracleDoc) -> tuple[bool, float]:
@@ -122,6 +158,8 @@ class OracleIndex:
         cfg = self.config
         if isinstance(node, MatchNoneNode):
             return False, 0.0
+        if isinstance(node, MatchAllNode):
+            return True, 1.0
         if isinstance(node, TermNode):
             positions = doc.fields.get(node.field, {}).get(node.term)
             if not positions:
@@ -195,6 +233,21 @@ class OracleIndex:
         if isinstance(node, IdNode):
             hit = doc.doc_ref == node.doc_ref
             return hit, 1.0 if hit else 0.0
+        if isinstance(node, FuzzyNode):
+            total = 0.0
+            matched = False
+            for t, boost in self.expand_fuzzy(node):
+                ok, s = self.evaluate(TermNode(node.field, t), doc)
+                matched = matched or ok
+                total += boost * s
+            return matched, total
+        if isinstance(node, DisMaxNode):
+            results = [self.evaluate(c, doc) for c in node.children]
+            hits = [s for ok, s in results if ok]
+            if not any(ok for ok, _ in results):
+                return False, 0.0
+            t = node.tie_breaker
+            return True, (1.0 - t) * max(hits) + t * sum(hits)
         if isinstance(node, BoostNode):
             ok, s = self.evaluate(node.child, doc)
             return ok, s * node.boost

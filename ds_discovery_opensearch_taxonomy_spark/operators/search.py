@@ -136,6 +136,56 @@ class IndexReader:
             out[(fld, pat)].append(r["term"])
         return {k: tuple(sorted(v)) for k, v in out.items()}
 
+    def expand_fuzzy(
+        self, fuzzies: set[qp.FuzzyNode]
+    ) -> dict[qp.FuzzyNode, tuple[tuple[str, float], ...]]:
+        """One dictionary pass expanding every fuzzy construct to its
+        in-distance terms with scoring boosts.
+
+        The distance predicate runs JVM-side (``F.levenshtein`` with the
+        early-exit threshold argument); expansions are capped at
+        ``_MAX_FUZZY_EXPANSIONS`` ordered (distance asc, term asc) and each
+        term's boost is ``1 - d / min(len(query_term), len(term))``
+        (FuzzyTermsEnum's boost; plain Levenshtein — transpositions=false —
+        pinned in :class:`~...queryparser.FuzzyNode`)."""
+        if not fuzzies:
+            return {}
+        d = self.dictionary()
+        conds = None
+        tagged = []
+        for node in sorted(fuzzies, key=lambda n: (n.field, n.term, n.max_edits)):
+            lev = F.levenshtein(F.col("term"), F.lit(node.term), node.max_edits)
+            c = (F.col("field") == node.field) & (lev >= 0)
+            tag = f"{node.field}\x00{node.term}\x00{node.max_edits}"
+            tagged.append(
+                F.when(c, F.struct(F.lit(tag).alias("k"), lev.alias("d")))
+            )
+            conds = c if conds is None else (conds | c)
+        rows = (
+            d.where(conds)
+            .select(
+                F.col("term"),
+                F.explode(F.array_compact(F.array(*tagged))).alias("m"),
+            )
+            .select("term", F.col("m.k").alias("k"), F.col("m.d").alias("d"))
+            .collect()
+        )
+        by_key: dict[tuple[str, str, int], list[tuple[int, str]]] = {}
+        for r in rows:
+            fld, term, edits = r["k"].split("\x00")
+            by_key.setdefault((fld, term, int(edits)), []).append(
+                (int(r["d"]), r["term"])
+            )
+        out: dict[qp.FuzzyNode, tuple[tuple[str, float], ...]] = {}
+        for node in fuzzies:
+            matches = sorted(by_key.get((node.field, node.term, node.max_edits), []))
+            matches = matches[:_MAX_FUZZY_EXPANSIONS]
+            out[node] = tuple(
+                (t, 1.0 - d / min(len(node.term), len(t)) if d else 1.0)
+                for d, t in matches
+            )
+        return out
+
     def expand_term_ranges(
         self, ranges: set[qp.TermRangeNode]
     ) -> dict[qp.TermRangeNode, tuple[str, ...]]:
@@ -175,6 +225,24 @@ class ExpandedTermsNode(qp.Node):
     field: str
     terms: tuple[str, ...]
     source: qp.Node | None = None
+
+
+#: FuzzyQuery's expansion cap (Lucene maxExpansions default 50); ties are
+#: deterministic: (distance asc, term asc)
+_MAX_FUZZY_EXPANSIONS = 50
+
+
+@dataclass(frozen=True)
+class ExpandedFuzzyNode(qp.Node):
+    """Fuzzy construct after dictionary expansion: per-term scoring boosts
+    (``1 - d/min_len``), summed like SHOULD TermQueries (BooleanQuery
+    scoring rewrite).  ``source`` keeps the original so the single-doc
+    path can match terms the global dictionary never saw."""
+
+    field: str
+    terms: tuple[str, ...]
+    boosts: tuple[float, ...]
+    source: qp.FuzzyNode | None = None
 
 
 #: pseudo-field hosting virtual posting sets in tid_map/needed_terms
@@ -222,11 +290,14 @@ def compile_queries(
 
     patterns: set[tuple[str, str]] = set()
     ranges: set[qp.TermRangeNode] = set()
+    fuzzies: set[qp.FuzzyNode] = set()
     for node in parsed.values():
         patterns |= qp.collect_patterns(node)
         ranges |= qp.collect_term_ranges(node)
+        fuzzies |= qp.collect_fuzzy(node)
     pat_map = reader.expand_wildcards(patterns)
     range_map = reader.expand_term_ranges(ranges)
+    fuzzy_map = reader.expand_fuzzy(fuzzies)
 
     #: key -> original metadata clause; doc sets are NOT resolved here —
     #: they materialize distributed at evaluation time (build_virtual_blocks)
@@ -239,12 +310,24 @@ def compile_queries(
             )
         if isinstance(node, qp.TermRangeNode):
             return ExpandedTermsNode(node.field, range_map.get(node, ()), node)
-        if isinstance(node, (qp.IntTermNode, qp.IntRangeNode, qp.IdNode)):
+        if isinstance(node, qp.FuzzyNode):
+            tb = fuzzy_map.get(node, ())
+            return ExpandedFuzzyNode(
+                node.field,
+                tuple(t for t, _ in tb),
+                tuple(b for _, b in tb),
+                node,
+            )
+        if isinstance(node, (qp.IntTermNode, qp.IntRangeNode, qp.IdNode, qp.MatchAllNode)):
             key = repr(node)
             virtual[key] = node
             return VirtualDocsNode(key, node)
         if isinstance(node, qp.BoostNode):
             return qp.BoostNode(rewrite(node.child), node.boost)
+        if isinstance(node, qp.DisMaxNode):
+            return qp.DisMaxNode(
+                tuple(rewrite(c) for c in node.children), node.tie_breaker
+            )
         if isinstance(node, qp.BoolNode):
             return qp.BoolNode(tuple((o, rewrite(c)) for o, c in node.clauses))
         return node
@@ -283,12 +366,15 @@ def compile_queries(
 
 def needed_terms(node: qp.Node) -> set[tuple[str, str]]:
     out = qp.collect_terms(node)
-    if isinstance(node, ExpandedTermsNode):
+    if isinstance(node, (ExpandedTermsNode, ExpandedFuzzyNode)):
         out |= {(node.field, t) for t in node.terms}
     elif isinstance(node, VirtualDocsNode):
         out |= {(VIRTUAL_FIELD, node.key)}
     elif isinstance(node, qp.BoostNode):
         out |= needed_terms(node.child)
+    elif isinstance(node, qp.DisMaxNode):
+        for child in node.children:
+            out |= needed_terms(child)
     elif isinstance(node, qp.BoolNode):
         for _, child in node.clauses:
             out |= needed_terms(child)
@@ -318,6 +404,8 @@ def virtual_condition(node: qp.Node):
         return cond
     if isinstance(node, qp.IdNode):
         return F.lower(F.concat_ws("/", "repo", "path", "commit")) == node.doc_ref
+    if isinstance(node, qp.MatchAllNode):
+        return F.lit(True)
     raise TypeError(type(node))  # pragma: no cover
 
 
@@ -582,6 +670,17 @@ class _Evaluator:
             return idf_sum * (self.k1 + 1.0)  # tf_norm < k1+1 for any tf
         if isinstance(node, (ExpandedTermsNode, VirtualDocsNode)):
             return 1.0
+        if isinstance(node, ExpandedFuzzyNode):
+            return sum(
+                b * self._term_ub(node.field, t)
+                for t, b in zip(node.terms, node.boosts)
+            )
+        if isinstance(node, qp.DisMaxNode):
+            ubs = [self._clause_ub(c) for c in node.children]
+            if not ubs:
+                return 0.0
+            t = node.tie_breaker
+            return (1.0 - t) * max(ubs) + t * sum(ubs)
         if isinstance(node, qp.BoostNode):
             return node.boost * self._clause_ub(node.child)
         return float("inf")  # nested bool etc: no bound, never skipped
@@ -650,7 +749,8 @@ class _Evaluator:
 
     def _flatten_disjunction(self, node: qp.Node) -> list[qp.Node] | None:
         if isinstance(node, (qp.TermNode, qp.OrTermsNode, qp.PhraseNode,
-                             ExpandedTermsNode, qp.BoostNode)):
+                             ExpandedTermsNode, ExpandedFuzzyNode,
+                             qp.DisMaxNode, qp.BoostNode)):
             return [node]
         if isinstance(node, qp.BoolNode) and all(
             o is qp.Occur.SHOULD for o, _ in node.clauses
@@ -715,6 +815,18 @@ class _Evaluator:
             if td is None:
                 return _EMPTY, _EMPTY
             return td.ids, np.ones(len(td.ids))
+        if isinstance(node, ExpandedFuzzyNode):
+            ids, sc = _EMPTY, np.empty(0)
+            for t, boost in zip(node.terms, node.boosts):
+                td = self._term(node.field, t)
+                if td is None:
+                    continue
+                ids, sc = _union_add(
+                    ids, sc, td.ids, boost * self._score_term(td, node.field, t)
+                )
+            return ids, sc
+        if isinstance(node, qp.DisMaxNode):
+            return self._eval_dismax(node)
         if isinstance(node, qp.BoostNode):
             ids, sc = self.eval(node.child)
             return ids, sc * node.boost
@@ -723,6 +835,32 @@ class _Evaluator:
         if isinstance(node, qp.BoolNode):
             return self._eval_bool(node)
         raise TypeError(f"unknown node {type(node)}")
+
+    def _eval_dismax(self, node: qp.DisMaxNode) -> tuple[np.ndarray, np.ndarray]:
+        """Union of children; per-doc score ``(1-t)*max + t*sum`` — the
+        dis-max combination ``max + tie_breaker*(sum of the rest)``."""
+        t = node.tie_breaker
+        ids, mx, sm = _EMPTY, np.empty(0), np.empty(0)
+        for child in node.children:
+            cids, csc = self.eval(child)
+            if len(cids) == 0:
+                continue
+            if len(ids) == 0:
+                ids, mx, sm = cids, csc.astype(np.float64), csc.astype(np.float64)
+                continue
+            merged = np.union1d(ids, cids)
+            mx2 = np.full(len(merged), -np.inf)
+            sm2 = np.zeros(len(merged))
+            ia = np.searchsorted(merged, ids)
+            mx2[ia] = mx
+            sm2[ia] = sm
+            ib = np.searchsorted(merged, cids)
+            mx2[ib] = np.maximum(mx2[ib], csc)
+            sm2[ib] += csc
+            ids, mx, sm = merged, mx2, sm2
+        if len(ids) == 0:
+            return _EMPTY, _EMPTY
+        return ids, (1.0 - t) * mx + t * sm
 
     # adjusted positions are packed into the low 32 key bits with this
     # offset so (pos - slot_index) stays non-negative; windows/equality are
@@ -989,6 +1127,8 @@ def _node_has_phrase(node: qp.Node) -> bool:
         return True
     if isinstance(node, qp.BoostNode):
         return _node_has_phrase(node.child)
+    if isinstance(node, qp.DisMaxNode):
+        return any(_node_has_phrase(c) for c in node.children)
     if isinstance(node, qp.BoolNode):
         return any(_node_has_phrase(c) for _, c in node.clauses)
     return False

@@ -78,6 +78,25 @@ class WildcardNode(Node):
 
 
 @dataclass(frozen=True)
+class FuzzyNode(Node):
+    """``term~`` / ``term~N`` — classic-parser fuzzy query.
+
+    Expanded against the dictionary at compile time: index terms within
+    plain Levenshtein distance <= ``max_edits`` (we pin transpositions=false,
+    a supported FuzzyQuery configuration, because Spark/DuckDB both ship
+    plain Levenshtein JVM-side), capped at 50 expansions ordered
+    (distance asc, term asc), each scored as a TermQuery boosted by
+    ``1 - d / min(len(query_term), len(index_term))`` and summed
+    (BooleanQuery scoring rewrite — Lucene FuzzyTermsEnum boost formula).
+    Like wildcards, the source text bypasses analysis and is lowercased
+    (``lowercaseExpandedTerms``)."""
+
+    field: str
+    term: str
+    max_edits: int
+
+
+@dataclass(frozen=True)
 class TermRangeNode(Node):
     field: str
     lo: str | None
@@ -129,6 +148,34 @@ class BoolNode(Node):
 @dataclass(frozen=True)
 class MatchNoneNode(Node):
     pass
+
+
+@dataclass(frozen=True)
+class MatchAllNode(Node):
+    """``*:*`` — every document, constant score 1.0 (Lucene
+    MatchAllDocsQuery; the reference substitutes it for an empty API query,
+    OpenSearchConnection.SetupSearchRequest:252-255)."""
+
+
+@dataclass(frozen=True)
+class DisMaxNode(Node):
+    """Disjunction-max over per-field alternatives of ONE syntactic clause.
+
+    Produced by multi-field query-string parsing (the reference passes a
+    field list to OpenSearch ``query_string``,
+    OpenSearchIAViewRepository.PerformSearch:151-186 +
+    OpenSearchConnection.SetupSearchRequest:236-251; OpenSearch's default
+    ``best_fields`` builds a per-term DisjunctionMaxQuery, tie_breaker 0).
+    Matches the union of its children; score =
+    ``max + tie_breaker * (sum - max)``."""
+
+    children: tuple[Node, ...]
+    tie_breaker: float = 0.0
+
+
+#: sentinel default-field marking "route this clause across the configured
+#: multi-field list" during parsing; never appears in a final AST
+MULTI_FIELD = "\x00multi"
 
 
 # --------------------------------------------------------------------------
@@ -218,6 +265,22 @@ def _lex(query: str) -> list[_Tok]:
 _WILDCARD_RE = re.compile(r"[*?]")
 _UNESCAPE_RE = re.compile(r"\\(.)")
 
+#: FuzzyQuery's hard cap on edit distance
+_MAX_FUZZY_EDITS = 2
+
+
+def _fuzzy_edits(raw: str, term_len: int) -> int:
+    """``~`` suffix value -> max edit distance (classic-parser rules):
+    bare ``~`` -> 2; ``~N`` with N >= 1 -> int(N) capped at 2; legacy
+    similarity ``~0.x`` -> ``floor((1 - sim) * term_len)`` capped at 2
+    (FuzzyQuery.floatToEdits)."""
+    if not raw:
+        return _MAX_FUZZY_EDITS
+    v = float(raw)
+    if v >= 1.0:
+        return min(int(v), _MAX_FUZZY_EDITS)
+    return min(int((1.0 - v) * term_len), _MAX_FUZZY_EDITS)
+
 
 def _unescape(text: str) -> str:
     return _UNESCAPE_RE.sub(r"\1", text)
@@ -244,7 +307,8 @@ class QueryParser:
         toks = _lex(rewrite_dates(query))
         self._toks = toks
         self._i = 0
-        node = self._parse_bool(self.config.default_field)
+        start = MULTI_FIELD if self.config.multi_fields else self.config.default_field
+        node = self._parse_bool(start)
         if node is None:
             return MatchNoneNode()
         return node
@@ -332,9 +396,19 @@ class QueryParser:
             return self._boosted(self._parse_range(field, inc_lo=(t.kind == "LB")))
         if t.kind == "TERM":
             nxt = self._peek()
+            if t.text == "*" and nxt is not None and nxt.kind == "COLON":
+                # ``*:*`` — match-all syntax; ``*:term`` scopes to a field
+                # literally named "*" (unmapped -> never matches)
+                self._next()  # ':'
+                inner = self._next()
+                if inner is not None and inner.kind == "TERM" and inner.text == "*":
+                    return self._boosted(MatchAllNode())
+                return self._boosted(MatchNoneNode())
+            fuzzy = 0
             if nxt is not None and nxt.kind == "TILDE":
-                self._next()  # fuzzy ~ — unused by the fixture; treated exact
-            return self._boosted(self._analyze_term(field, t.text))
+                self._next()
+                fuzzy = _fuzzy_edits(nxt.text, len(_unescape(t.text)))
+            return self._boosted(self._analyze_term(field, t.text, fuzzy))
         if t.kind in ("TO", "AND", "OR", "NOT"):
             # bare keyword in term position — treat as literal term
             return self._analyze_term(field, t.text)
@@ -377,6 +451,13 @@ class QueryParser:
                 inc_lo,
                 inc_hi,
             )
+        if field == MULTI_FIELD:
+            node = self._dismax(
+                lambda f: TermRangeNode(f, lo, hi, inc_lo, inc_hi)
+                if self._field_analyzer(f) is not None
+                else None
+            )
+            return node if node is not None else MatchNoneNode()
         return TermRangeNode(field, lo, hi, inc_lo, inc_hi)
 
     # -- analysis ----------------------------------------------------------
@@ -387,10 +468,30 @@ class QueryParser:
             return spec.analyzer
         return None
 
-    def _analyze_term(self, field: str, raw: str) -> Node | None:
+    def _dismax(self, build) -> Node | None:
+        """Route one syntactic clause across the configured multi-field
+        list: per-field analysis (fields may use different analyzer chains)
+        combined as dis-max, optional per-field boosts."""
+        children: list[Node] = []
+        for f, boost in self.config.multi_fields:
+            n = build(f)
+            if n is None or isinstance(n, MatchNoneNode):
+                continue
+            if boost != 1.0:
+                n = BoostNode(n, boost)
+            children.append(n)
+        if not children:
+            return None
+        if len(children) == 1:
+            return children[0]
+        return DisMaxNode(tuple(children), self.config.multi_field_tie_breaker)
+
+    def _analyze_term(self, field: str, raw: str, fuzzy: int = 0) -> Node | None:
         raw = raw.strip()
         if not raw:
             return None
+        if field == MULTI_FIELD:
+            return self._dismax(lambda f: self._analyze_term(f, raw, fuzzy))
         if field == "id":
             return IdNode(_unescape(raw).lower())
         if field in self.config.int_fields:
@@ -403,6 +504,9 @@ class QueryParser:
             # unknown field — no such indexed field, never matches (mirrors
             # the reference's in-memory index for unmapped fields)
             return MatchNoneNode()
+        if fuzzy > 0:
+            # fuzzy bypasses analysis like wildcards (lowercased only)
+            return FuzzyNode(field, _unescape(raw).lower(), fuzzy)
         terms = analysis.analyze_terms(analyzer, _unescape(raw))
         if not terms:
             return None
@@ -411,6 +515,8 @@ class QueryParser:
         return OrTermsNode(field, tuple(terms))
 
     def _analyze_phrase(self, field: str, raw: str, slop: int) -> Node | None:
+        if field == MULTI_FIELD:
+            return self._dismax(lambda f: self._analyze_phrase(f, raw, slop))
         analyzer = self._field_analyzer(field)
         if analyzer is None:
             return MatchNoneNode()
@@ -446,6 +552,9 @@ def collect_terms(node: Node) -> set[tuple[str, str]]:
             out.update((node.field, t) for t in slot)
     elif isinstance(node, BoostNode):
         out.update(collect_terms(node.child))
+    elif isinstance(node, DisMaxNode):
+        for child in node.children:
+            out.update(collect_terms(child))
     elif isinstance(node, BoolNode):
         for _, child in node.clauses:
             out.update(collect_terms(child))
@@ -460,6 +569,9 @@ def collect_patterns(node: Node) -> set[tuple[str, str]]:
         out.add((node.field, node.pattern))
     elif isinstance(node, BoostNode):
         out.update(collect_patterns(node.child))
+    elif isinstance(node, DisMaxNode):
+        for child in node.children:
+            out.update(collect_patterns(child))
     elif isinstance(node, BoolNode):
         for _, child in node.clauses:
             out.update(collect_patterns(child))
@@ -472,7 +584,26 @@ def collect_term_ranges(node: Node) -> set[TermRangeNode]:
         out.add(node)
     elif isinstance(node, BoostNode):
         out.update(collect_term_ranges(node.child))
+    elif isinstance(node, DisMaxNode):
+        for child in node.children:
+            out.update(collect_term_ranges(child))
     elif isinstance(node, BoolNode):
         for _, child in node.clauses:
             out.update(collect_term_ranges(child))
+    return out
+
+
+def collect_fuzzy(node: Node) -> set[FuzzyNode]:
+    """All fuzzy constructs needing dictionary edit-distance expansion."""
+    out: set[FuzzyNode] = set()
+    if isinstance(node, FuzzyNode):
+        out.add(node)
+    elif isinstance(node, BoostNode):
+        out.update(collect_fuzzy(node.child))
+    elif isinstance(node, DisMaxNode):
+        for child in node.children:
+            out.update(collect_fuzzy(child))
+    elif isinstance(node, BoolNode):
+        for _, child in node.clauses:
+            out.update(collect_fuzzy(child))
     return out

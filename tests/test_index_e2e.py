@@ -50,6 +50,13 @@ SYNTHETIC = [
     ("X_CASNOPUNC", "textcasnopunc:MELODY"),
     ("X_WILD", "suffrag* NOT chartism"),
     ("X_LEADWILD", "*mason"),
+    # fuzzy: misspellings within edit distance of real vocabulary words;
+    # scored via per-term boosts 1 - d/min_len summed (BooleanQuery rewrite)
+    ("X_FUZZY", "sufrage~1 OR charism~2"),
+    ("X_FUZZY_SCORED", "ration~1^2 OR women"),
+    # match-all syntax (Q11) incl. as the positive leg of a NOT
+    ("X_MATCHALL", "*:*"),
+    ("X_MATCHALL_NOT", '*:* NOT "chartism"'),
 ]
 
 

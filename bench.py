@@ -54,9 +54,13 @@ def main() -> int:
 
     n_cpus = int(cpus) if cpus != "*" else (os.cpu_count() or 8)
     spark = make_spark(cpus, shuffle_partitions=2 * n_cpus)
+    # n_eval_bands is CONSTANT across parallelism levels (it shapes the
+    # index: blocks never cross band boundaries) so the scaling protocol
+    # builds byte-identical indexes at N and 4N cores; 64 bands give every
+    # level enough eval tasks to fill its cores.
     config = EngineConfig(
         n_term_buckets=8,
-        n_eval_bands=max(2, n_cpus // 8),
+        n_eval_bands=int(os.environ.get("BENCH_EVAL_BANDS", 64)),
         salt_target_postings=int(os.environ.get("BENCH_SALT_TARGET", 20_000)),
         build_parallelism=8,
     )

@@ -97,10 +97,14 @@ class EngineConfig:
     n_eval_bands: int = 1
 
     #: categories evaluated per (chunk, band) task — a chunk's categories
-    #: share one decoded-postings cache, and a term needed by several of
-    #: them ships once per chunk in the eval shuffle instead of once per
-    #: category.  Parallelism = ceil(#categories / chunk) × n_eval_bands.
-    eval_chunk_size: int = 8
+    #: share one decoded-postings cache.  The default keeps a whole taxonomy
+    #: run in ONE chunk so each posting block ships through the eval shuffle
+    #: exactly once; parallelism comes from n_eval_bands (an index-build
+    #: property).  Lower it only if a single band's working set outgrows
+    #: task memory: k chunks re-ship every shared term k times (a 17-chunk
+    #: split of the 136-category fixture measured 5.6x shuffle blowup —
+    #: 1081 MB vs ~190 MB — and the eval stage wall went 10x with it).
+    eval_chunk_size: int = 512
 
     #: concurrent bucket-build jobs (reference runs 5 concurrent batches,
     #: FullReindexCategoriser.cs:87-213); each commits independently.

@@ -599,6 +599,10 @@ def build_index(
     stats_rows = spark.read.parquet(cat.path(IndexCatalog.DOC_STATS)).collect()
     avgdl = {r["field"]: float(r["avgdl"]) for r in stats_rows}
     band_bits = max(config.n_eval_bands - 1, 0).bit_length()
+    # the band layout is a property of the INDEX (blocks never cross band
+    # boundaries); readers must group by the index's bands, not their own
+    # config's — record it so virtual blocks and eval grouping stay aligned
+    cat.set_meta("band_bits", band_bits)
 
     # -- stage 4: dictionary (df/cf), ONE job for every bucket --------------
     # numeric groupBy; the term string (shipped once per tokenizer chunk,

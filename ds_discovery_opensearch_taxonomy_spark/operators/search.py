@@ -29,6 +29,7 @@ postings" (constant-score doc-id sets, Lucene's constant-score rewrite).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -61,6 +62,13 @@ class IndexReader:
         stats = spark.read.parquet(self.cat.path(IndexCatalog.DOC_STATS)).collect()
         self.n_docs = int(stats[0]["n_docs"]) if stats else 0
         self.avgdl = {r["field"]: float(r["avgdl"]) for r in stats}
+        #: band layout is the INDEX's property (recorded at build); older
+        #: manifests fall back to the reader config's derivation
+        self.band_bits = int(
+            self.cat.get_meta(
+                "band_bits", max(self.config.n_eval_bands - 1, 0).bit_length()
+            )
+        )
         #: compile_queries results per (categories, config) — the index a
         #: reader points at is immutable, so expansions/df never go stale
         #: (mirrors the reference's static parsed-query cache,
@@ -231,6 +239,20 @@ class ExpandedTermsNode(qp.Node):
 #: deterministic: (distance asc, term asc)
 _MAX_FUZZY_EXPANSIONS = 50
 
+#: cap on the term_id IN-list pushed into the postings parquet scan; beyond
+#: this the broadcast term join alone does the selection (planning cost of a
+#: giant IN beats the row-group skips it buys)
+_MAX_PUSHED_TERM_IDS = 8192
+
+#: block-max top-k pruning only pays above this many postings per
+#: (category, band): below it the pruning machinery's fixed cost (clause
+#: upper-bound sort, per-clause candidate intersection, block-mask pandas
+#: slices) measured ~3x a plain vectorized eval + partial top-k, which is
+#: O(postings) with tiny numpy constants.  High-band indexes make each band
+#: small, so most groups take the cheap path; the pruning path still guards
+#: the pathological wide-OR x large-band case it was built for.
+_TOPK_MIN_POSTINGS = int(os.environ.get("SPARK_GRAFT_TOPK_MIN_POSTINGS", 100_000))
+
 
 @dataclass(frozen=True)
 class ExpandedFuzzyNode(qp.Node):
@@ -361,6 +383,26 @@ def compile_queries(
     reader.compile_cache[cache_key] = out
     while len(reader.compile_cache) > reader.compile_cache_max:
         reader.compile_cache.popitem(last=False)
+    return out
+
+
+def phrase_terms(node: qp.Node) -> set[tuple[str, str]]:
+    """(field, term) pairs whose POSITIONS the evaluator will read (phrase
+    slots).  Position streams for all other terms are dropped before the
+    eval shuffle — posdata is the largest per-posting stream, and plain
+    term/bool scoring never touches it."""
+    out: set[tuple[str, str]] = set()
+    if isinstance(node, qp.PhraseNode):
+        for slot in node.slots:
+            out.update((node.field, t) for t in slot)
+    elif isinstance(node, qp.BoostNode):
+        out |= phrase_terms(node.child)
+    elif isinstance(node, qp.DisMaxNode):
+        for child in node.children:
+            out |= phrase_terms(child)
+    elif isinstance(node, qp.BoolNode):
+        for _, child in node.clauses:
+            out |= phrase_terms(child)
     return out
 
 
@@ -530,15 +572,14 @@ def _encode_virtual_key(
 
 
 class _TermData:
-    __slots__ = ("ids", "tfs", "dls", "pos_offsets", "pos_flat", "idf")
+    __slots__ = ("ids", "tfs", "dls", "pos_offsets", "pos_flat")
 
-    def __init__(self, ids, tfs, dls, pos_offsets, pos_flat, idf):
+    def __init__(self, ids, tfs, dls, pos_offsets, pos_flat):
         self.ids = ids
         self.tfs = tfs
         self.dls = dls
         self.pos_offsets = pos_offsets
         self.pos_flat = pos_flat
-        self.idf = idf
 
 
 _EMPTY = np.empty(0, dtype=np.int64)
@@ -569,13 +610,21 @@ def _decode_rows(rows: pd.DataFrame, need_positions: bool) -> _TermData:
         cum -= np.repeat(base, ns)
         ids = (cum - _U64_SHIFT).astype(np.int64)
     tfs = codec.varbyte_decode(b"".join(rows["tfs"]), count=total).astype(np.int64)
-    dls = codec.varbyte_decode(b"".join(rows["dls"]), count=total).astype(np.int64)
+    # dls ships only for scored runs (BM25 length norm); bool matching
+    # never reads it, so the column is pruned from the eval shuffle there
+    dls = (
+        codec.varbyte_decode(b"".join(rows["dls"]), count=total).astype(np.int64)
+        if "dls" in rows.columns
+        else None
+    )
     pos_offsets = pos_flat = None
-    if need_positions:
+    if need_positions and rows["posdata"].iloc[0] is not None:
         # per-posting position counts == tfs (no separate poslens stream);
-        # per-posting delta chains restart absolute, so one decode suffices
+        # per-posting delta chains restart absolute, so one decode suffices.
+        # posdata arrives null for terms no phrase in this chunk uses —
+        # their positions were dropped before the eval shuffle.
         pos_offsets, pos_flat = codec.decode_positions(tfs, b"".join(rows["posdata"]))
-    return _TermData(ids, tfs, dls, pos_offsets, pos_flat, float(rows["idf"].iloc[0]))
+    return _TermData(ids, tfs, dls, pos_offsets, pos_flat)
 
 
 def _union_add(ids_a, sc_a, ids_b, sc_b):
@@ -881,7 +930,8 @@ class _Evaluator:
             if not len(sel):
                 continue
             doc_idx = j[sel]
-            dls[doc_idx] = td.dls[sel]
+            if td.dls is not None:  # absent in bool mode (no length norm)
+                dls[doc_idx] = td.dls[sel]
             starts = td.pos_offsets[sel]
             lens = td.pos_offsets[sel + 1] - starts
             total = int(lens.sum())
@@ -912,6 +962,12 @@ class _Evaluator:
             tds = [td for t in slot if (td := self._term(node.field, t)) is not None]
             if not tds:
                 return _EMPTY, _EMPTY
+            for td in tds:
+                if td.pos_offsets is None:
+                    raise RuntimeError(
+                        "phrase term arrived without positions — posdata "
+                        "gating dropped a stream the evaluator needs"
+                    )
             slot_ids = tds[0].ids if len(tds) == 1 else np.union1d(
                 tds[0].ids, tds[1].ids
             )
@@ -1032,11 +1088,14 @@ def run_categories(
     if not term_cats:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
-    # categories are evaluated in CHUNKS: one task per (chunk, band) runs
-    # every category of the chunk against a SHARED decoded-term cache, so a
-    # term needed by many categories ships once per chunk (not once per
-    # category) and decodes once per task.  chunk count keeps chunk × band
-    # parallelism comfortably above the executor count.
+    # categories are evaluated in CHUNKS of one task per (chunk, band); all
+    # categories of a chunk share one decoded-term cache per task.  The
+    # default chunk size is large enough that a normal taxonomy run is ONE
+    # chunk — parallelism comes from the doc_id BANDS (an index property,
+    # set at build), so each posting block ships through the eval shuffle
+    # exactly once.  Smaller chunks re-ship shared terms once per chunk;
+    # they only pay off when a single band's working set outgrows task
+    # memory before bands can be raised at build time.
     sorted_cids = sorted(compiled)
     chunk_size = max(1, int(config.eval_chunk_size))
     chunk_of = {cid: i // chunk_size for i, cid in enumerate(sorted_cids)}
@@ -1044,16 +1103,29 @@ def run_categories(
     for cid, ch in chunk_of.items():
         chunk_cids.setdefault(ch, []).append(cid)
 
-    term_chunks = {
-        (tid_map[(f, t)], ch)
-        for (f, t), cids in term_cats.items()
-        if (f, t) in tid_map  # absent from dictionary -> no postings anywhere
-        for ch in {chunk_of[c] for c in cids}
-    }
+    # positions are only decoded for phrase slots: ship posdata for a
+    # (term, chunk) only if some category of the chunk uses the term in a
+    # phrase — posdata is the largest stream and most terms are term/bool
+    pos_keys: dict[tuple[str, str], set[str]] = {}
+    for cid, node in compiled.items():
+        for key in phrase_terms(node):
+            pos_keys.setdefault(key, set()).add(cid)
+    term_chunks: dict[tuple[int, int], bool] = {}
+    for (f, t), cids in term_cats.items():
+        if (f, t) not in tid_map:  # absent from dictionary -> no postings
+            continue
+        tid = tid_map[(f, t)]
+        pcs = pos_keys.get((f, t), ())
+        for c in cids:
+            ch = chunk_of[c]
+            term_chunks[(tid, ch)] = term_chunks.get((tid, ch), False) or (c in pcs)
     if not term_chunks:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    terms_df = spark.createDataFrame(sorted(term_chunks), ["term_id", "chunk"])
-    band_bits = max(config.n_eval_bands - 1, 0).bit_length()
+    terms_df = spark.createDataFrame(
+        sorted((tid, ch, np_) for (tid, ch), np_ in term_chunks.items()),
+        ["term_id", "chunk", "needs_pos"],
+    )
+    band_bits = reader.band_bits
     # bucket pruning: buckets hosting the needed terms — known from the
     # dictionary fetch in compile_queries (no extra job); terms absent from
     # the dictionary have no postings anywhere
@@ -1068,12 +1140,38 @@ def run_categories(
         blocks = (
             reader.postings().where(F.col("bucket").isin(buckets)).select(*block_cols)
         )
+        # push the term selection into the parquet scan: bucket pruning alone
+        # still reads a whole bucket's blocks and discards non-queried terms
+        # join-side; an explicit IN filter reaches the scan (PushedFilters)
+        # and skips row groups via term_id min/max stats (files are sorted by
+        # term_id).  Capped — a giant IN list costs more in planning than it
+        # saves; above the cap the broadcast join alone does the selection.
+        tids = sorted({t for t, _ in term_chunks})
+        if len(tids) <= _MAX_PUSHED_TERM_IDS:
+            blocks = blocks.where(F.col("term_id").isin(tids))
     if virtual:
         vblocks = build_virtual_blocks(reader, virtual, tid_map, config, band_bits)
         blocks = vblocks if blocks is None else blocks.unionByName(vblocks)
     if blocks is None:
         return spark.createDataFrame([], RESULT_SCHEMA)
     tagged = blocks.join(F.broadcast(terms_df), ["term_id"])
+    # drop position streams for non-phrase terms BEFORE the eval shuffle
+    # (the projection runs map-side, between the join and the exchange)
+    tagged = tagged.withColumn(
+        "posdata",
+        F.when(F.col("needs_pos"), F.col("posdata")).otherwise(
+            F.lit(None).cast("binary")
+        ),
+    ).drop("needs_pos")
+    # shuffle only what the evaluator reads: block df/idf are dead at eval
+    # (global df comes from the dictionary via df_map), and bool matching
+    # needs neither length norms (dls) nor block-max metadata.  Catalyst
+    # prunes the dropped columns all the way down to the parquet scan.
+    eval_cols = ["term_id", "chunk", "salt", "band", "blk_seq", "n",
+                 "docids", "tfs", "posdata"]
+    if scored:
+        eval_cols += ["min_docid", "max_docid", "max_score_ub", "dls"]
+    tagged = tagged.select(*eval_cols)
 
     n_docs = float(reader.n_docs)
     avgdl = dict(reader.avgdl)
@@ -1095,10 +1193,15 @@ def run_categories(
             rows_by_term, df_map_b.value, n_docs, k1, b, avgdl, scored,
             needs_pos, tid_map_b.value,
         )
+        tid_map = tid_map_b.value
+        n_by_term = {t: int(rows["n"].sum()) for t, rows in rows_by_term.items()}
         frames = []
         for cid in cids:
             node = nodes[cid]
-            if top_k is not None and scored:
+            group_postings = sum(
+                n_by_term.get(tid_map.get(key), 0) for key in needed_terms(node)
+            )
+            if top_k is not None and scored and group_postings >= _TOPK_MIN_POSTINGS:
                 # per-band block-max top-k (global top-k reduced afterwards)
                 ids, sc = ev.eval_topk(node, top_k)
             else:

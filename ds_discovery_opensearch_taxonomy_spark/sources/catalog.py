@@ -52,6 +52,16 @@ class IndexCatalog:
         m["stages"][stage] = {"ts": time.time(), "metrics": metrics or {}}
         self._write_manifest(m)
 
+    def set_meta(self, key: str, value) -> None:
+        """Record an index-layout property (e.g. band_bits) in the manifest
+        so readers bind to the INDEX's layout, not their own config."""
+        m = self.manifest()
+        m.setdefault("meta", {})[key] = value
+        self._write_manifest(m)
+
+    def get_meta(self, key: str, default=None):
+        return self.manifest().get("meta", {}).get(key, default)
+
     def committed_buckets(self) -> set[int]:
         return {int(b) for b in self.manifest()["buckets"]}
 

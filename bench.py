@@ -56,11 +56,13 @@ def main() -> int:
     spark = make_spark(cpus, shuffle_partitions=2 * n_cpus)
     # n_eval_bands is CONSTANT across parallelism levels (it shapes the
     # index: blocks never cross band boundaries) so the scaling protocol
-    # builds byte-identical indexes at N and 4N cores; 64 bands give every
-    # level enough eval tasks to fill its cores.
+    # builds byte-identical indexes at N and 4N cores.  16 bands is the
+    # measured sweet spot at this scale: 64 shreds mid-df terms into
+    # 1-posting blocks (build +25%, per-query scans 3x slower) while 8
+    # caps eval parallelism; eval tasks = chunks x bands (2 x 16 = 32).
     config = EngineConfig(
         n_term_buckets=8,
-        n_eval_bands=int(os.environ.get("BENCH_EVAL_BANDS", 64)),
+        n_eval_bands=int(os.environ.get("BENCH_EVAL_BANDS", 16)),
         salt_target_postings=int(os.environ.get("BENCH_SALT_TARGET", 20_000)),
         build_parallelism=8,
     )

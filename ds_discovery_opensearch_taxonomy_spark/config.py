@@ -97,14 +97,15 @@ class EngineConfig:
     n_eval_bands: int = 1
 
     #: categories evaluated per (chunk, band) task — a chunk's categories
-    #: share one decoded-postings cache.  The default keeps a whole taxonomy
-    #: run in ONE chunk so each posting block ships through the eval shuffle
-    #: exactly once; parallelism comes from n_eval_bands (an index-build
-    #: property).  Lower it only if a single band's working set outgrows
-    #: task memory: k chunks re-ship every shared term k times (a 17-chunk
-    #: split of the 136-category fixture measured 5.6x shuffle blowup —
-    #: 1081 MB vs ~190 MB — and the eval stage wall went 10x with it).
-    eval_chunk_size: int = 512
+    #: share one decoded-postings cache, and a term shared by the chunk's
+    #: categories ships through the eval shuffle once per CHUNK.  Eval
+    #: parallelism = ceil(#categories/chunk) x n_eval_bands; duplication
+    #: cost = #chunks for shared terms.  68 (2 chunks for the 136-category
+    #: fixture) measured fastest at 16 bands (bool 8.8s vs 21.4s for one
+    #: chunk at 50k/32c: one chunk leaves eval parallelism = bands alone,
+    #: which undersubscribes the cluster; many chunks re-ship every shared
+    #: term per chunk).
+    eval_chunk_size: int = 68
 
     #: concurrent bucket-build jobs (reference runs 5 concurrent batches,
     #: FullReindexCategoriser.cs:87-213); each commits independently.

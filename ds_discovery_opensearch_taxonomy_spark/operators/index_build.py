@@ -4,20 +4,23 @@ Spark re-plan of the reference's per-batch RAMDirectory indexing
 (InMemoryCategoriserRepository.cs:461-502) as a persistent global index
 (SURVEY.md §3.1):
 
-  corpus ──mapInPandas tokenize (Arrow, memoized analyzers)──▶
-  staging (term_id, term?, ford, doc_id, tf, dl, pos_bytes) partitioned
-  by term-hash bucket ──▶ df/cf dictionary (one codegen'd agg) ──▶
-  per-bucket resumable mapInArrow block build: salt-split sorted posting
-  blocks (docID-gap varbyte + per-block max-score metadata) ──manifest
-  commit──▶ global postings table.
+  corpus ──narrow per-partition count──▶ dense ord layout (manifest) ──▶
+  docs table (ord + metadata) + per-band DOCMAP (packed ord→doc_id) ──▶
+  mapInArrow tokenize (Arrow, memoized analyzers) ──▶ staging
+  (term_id, term?, ford, ord, tf, dl, pos_bytes) partitioned by term-hash
+  bucket ──▶ df/cf dictionary (one codegen'd agg) ──▶ one-job mapInArrow
+  block build: salt-split sorted posting blocks (ord-gap varbyte +
+  per-block max-score metadata) ──manifest commit──▶ global postings.
 
 Scale levers (north rule):
-* ONE wide shuffle total (the staged write, keyed by term bucket); doc
-  stats aggregate map-side-combines on (field, doc_id);
-* skew: terms with df > ``salt_target_postings`` are salted by the TOP BITS
-  of doc_id, so per-salt posting runs are contiguous, bounded, and globally
-  mergeable by concatenation (no k-way merge at read time);
-* blocks never cross an eval-band boundary (doc_id prefix), so query-time
+* ONE wide shuffle total (the staged write, keyed by term bucket);
+* posting lists key on DENSE ords, so gaps varbyte to 1-2 bytes (vs 8-9
+  for hashed 64-bit ids) — the external doc_id is recovered per eval band
+  from DOCMAP (Lucene segment-docID + stored-field key, distributed);
+* skew: terms with df > ``salt_target_postings`` are salted by the TOP
+  BITS of ord, so per-salt posting runs are contiguous, bounded, and
+  globally mergeable by concatenation (no k-way merge at read time);
+* blocks never cross an eval-band boundary (ord prefix), so query-time
   per-(category, band) grouping is exact;
 * per-bucket manifest commits give kill/resume with lineage + metrics.
 """
@@ -51,7 +54,13 @@ TOKENS_SCHEMA = T.StructType(
         T.StructField("term_id", T.LongType(), False),
         T.StructField("term", T.StringType(), True),
         T.StructField("ford", T.IntegerType(), False),
-        T.StructField("doc_id", T.LongType(), False),
+        # dense doc ORDINAL in [0, n_docs) — NOT the 64-bit external doc_id.
+        # Posting lists gap-encode ords: dense keys make gaps ~n_docs/df
+        # (1-2 varbyte bytes) instead of ~2^64/df for hashed ids (8-9 bytes)
+        # — the docids stream was ~60% of index bytes before this.  The
+        # external doc_id is recovered per eval band via the DOCMAP table
+        # (Lucene's segment-local docID + stored-field key, distributed).
+        T.StructField("ord", T.LongType(), False),
         T.StructField("tf", T.IntegerType(), False),
         T.StructField("dl", T.IntegerType(), False),
         # per-posting positions, ALREADY delta+varbyte encoded (first value
@@ -68,6 +77,10 @@ from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (  # noqa
     term_id_of,
 )
 
+#: bump when the on-disk table layout changes incompatibly (2 = dense-ord
+#: postings + DOCMAP); build_index refuses to resume across versions
+INDEX_FORMAT_VERSION = 2
+
 #: posting blocks are keyed by the numeric ``term_id`` (see term_id_of) — the
 #: heavy build/query paths stay ALL-NUMERIC (term strings live only in the
 #: dictionary table, which wildcard/range scans read).  String columns in
@@ -83,6 +96,8 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("band", T.IntegerType(), False),
         T.StructField("blk_seq", T.IntegerType(), False),
         T.StructField("n", T.IntegerType(), False),
+        # min/max of the block's dense ords (the posting id space); the
+        # names keep the Lucene skip-entry vocabulary
         T.StructField("min_docid", T.LongType(), False),
         T.StructField("max_docid", T.LongType(), False),
         T.StructField("df", T.LongType(), False),
@@ -96,9 +111,71 @@ BLOCKS_SCHEMA = T.StructType(
 )
 
 
-def tokenize_corpus(corpus: DataFrame, config: EngineConfig) -> DataFrame:
-    """corpus (with doc_id) -> TOKENS_SCHEMA rows (numeric postings; term
-    strings shipped once per chunk for the dictionary).
+def ord_bits_of(n_docs: int) -> int:
+    """Bit width of the dense ordinal space (>=1 so shifts stay valid)."""
+    return max(int(max(n_docs, 1) - 1).bit_length(), 1)
+
+
+def ord_shift_of(n_docs: int, band_bits: int) -> int:
+    """Right-shift taking an ord to its eval band: band = ord >> shift.
+    Bands are CONTIGUOUS ord ranges, so each band's ord -> doc_id
+    translation is one packed array slice (see DOCMAP)."""
+    return max(ord_bits_of(n_docs) - band_bits, 0)
+
+
+def partition_offsets(corpus: DataFrame) -> tuple[list[int], int]:
+    """Per-input-partition starting ordinals: ord = offsets[pid] + row
+    index within the partition.
+
+    ONE narrow job (zero-column scan + map-side count); no shuffle of the
+    corpus and no driver-side rows beyond one int per partition.  Both the
+    docs pass and the tokenize pass attach ords from these offsets — file
+    scans plan partitions from the file listing + size config only, so two
+    scans of the same immutable input see identical (partition -> rows)
+    maps (the zipWithIndex determinism contract, without the RDD hop)."""
+    counts = {
+        int(r["pid"]): int(r["n"])
+        for r in corpus.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_parts = (max(counts) + 1) if counts else 0
+    offsets, acc = [], 0
+    for pid in range(n_parts):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+    return offsets, acc
+
+
+def attach_ords(df: DataFrame, offsets: list[int]) -> DataFrame:
+    """Append the dense ``ord`` column from partition offsets (no shuffle)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("ord", T.LongType(), False)]
+    )
+
+    def run(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        nxt = offsets[TaskContext.get().partitionId()]
+        for rb in batches:
+            ords = pa.array(
+                np.arange(nxt, nxt + rb.num_rows, dtype=np.int64), pa.int64()
+            )
+            nxt += rb.num_rows
+            yield rb.append_column("ord", ords)
+
+    return df.mapInArrow(run, out_schema)
+
+
+def tokenize_corpus(
+    corpus: DataFrame, config: EngineConfig, offsets: list[int]
+) -> DataFrame:
+    """corpus -> TOKENS_SCHEMA rows (numeric postings; term strings shipped
+    once per chunk for the dictionary).  Postings are keyed by the dense
+    ``ord`` assigned from ``offsets`` (see partition_offsets) — the 64-bit
+    doc_id never enters the postings path.
 
     Vectorized via mapInArrow + the unique-span tokenizer
     (functions/vtokenize.py): the analyzer chain runs once per *unique*
@@ -117,6 +194,7 @@ def tokenize_corpus(corpus: DataFrame, config: EngineConfig) -> DataFrame:
 
     def run(batches):
         import pyarrow as pa
+        from pyspark import TaskContext
 
         tok = ChunkTokenizer(specs)
         schema = pa.schema(
@@ -124,19 +202,21 @@ def tokenize_corpus(corpus: DataFrame, config: EngineConfig) -> DataFrame:
                 ("term_id", pa.int64()),
                 ("term", pa.string()),
                 ("ford", pa.int32()),
-                ("doc_id", pa.int64()),
+                ("ord", pa.int64()),
                 ("tf", pa.int32()),
                 ("dl", pa.int32()),
                 ("pos_bytes", pa.binary()),
             ]
         )
+        next_ord = offsets[TaskContext.get().partitionId()]
         for rb in batches:
             names = rb.schema.names
             for lo in range(0, rb.num_rows, chunk):
                 sub = rb.slice(lo, chunk)
-                doc_ids = sub.column(names.index("doc_id")).to_numpy(
-                    zero_copy_only=False
+                doc_ids = np.arange(
+                    next_ord, next_ord + sub.num_rows, dtype=np.int64
                 )
+                next_ord += sub.num_rows
                 columns = {
                     c: sub.column(names.index(c)).to_pylist() for c in src_cols
                 }
@@ -187,16 +267,13 @@ def tokenize_corpus(corpus: DataFrame, config: EngineConfig) -> DataFrame:
                     schema=schema,
                 )
 
-    return corpus.select("doc_id", *src_cols).mapInArrow(run, TOKENS_SCHEMA)
+    return corpus.select(*src_cols).mapInArrow(run, TOKENS_SCHEMA)
 
 
-def _band_of(doc_ids: np.ndarray, band_bits: int) -> np.ndarray:
-    """doc_id -> band, MONOTONE over signed doc_id order (top bit flipped so
-    negative ids land in the low bands)."""
-    if band_bits <= 0:
-        return np.zeros(len(doc_ids), dtype=np.int64)
-    u = doc_ids.astype(np.uint64) >> np.uint64(64 - band_bits)
-    return (u ^ np.uint64(1 << (band_bits - 1))).astype(np.int64)
+def _band_of(ords: np.ndarray, ord_shift: int) -> np.ndarray:
+    """ord -> eval band (top bits of the dense ordinal: bands are
+    contiguous, near-equal ord ranges)."""
+    return (ords.astype(np.int64) >> np.int64(ord_shift)).astype(np.int64)
 
 
 def _extract_columns(rb) -> dict:
@@ -206,7 +283,7 @@ def _extract_columns(rb) -> dict:
     idx = {f: i for i, f in enumerate(rb.schema.names)}
     out = {
         name: rb.column(idx[name]).to_numpy(zero_copy_only=False)
-        for name in ("term_id", "doc_id", "tf", "dl", "df", "salt", "ford")
+        for name in ("term_id", "ord", "tf", "dl", "df", "salt", "ford")
     }
     arr = rb.column(idx["pos_bytes"])
     bufs = arr.buffers()
@@ -283,10 +360,10 @@ def _build_blocks_batch(
     k1: float,
     b: float,
     block_size: int,
-    band_bits: int,
+    ord_shift: int,
 ):
     """Fully-vectorized block construction for a batch of COMPLETE
-    (term_id, salt) groups, already sorted by (term_id, salt, doc_id).
+    (term_id, salt) groups, already sorted by (term_id, salt, ord).
     Every codec pass runs ONCE over the whole batch; the four output
     binary columns are offset arrays over the batch-level varbyte streams
     (consecutive blocks tile each stream) — zero per-block python."""
@@ -295,12 +372,12 @@ def _build_blocks_batch(
     n = len(c["term_id"])
     tid = c["term_id"].astype(np.int64)
     slt = c["salt"].astype(np.int64)
-    doc_ids = c["doc_id"].astype(np.int64)
+    doc_ids = c["ord"].astype(np.int64)  # dense ords (block id space)
     tfs = c["tf"].astype(np.int64)
     dls = c["dl"].astype(np.int64)
     dfs = c["df"].astype(np.int64)
     ford = c["ford"].astype(np.int64)
-    bands = _band_of(doc_ids, band_bits)
+    bands = _band_of(doc_ids, ord_shift)
 
     idx = np.arange(n, dtype=np.int64)
     group_change = np.empty(n, dtype=bool)
@@ -375,10 +452,10 @@ def make_block_builder(
     k1: float,
     b: float,
     block_size: int,
-    band_bits: int,
+    ord_shift: int,
 ):
     """Returns a mapInArrow function that streams sorted (term_id, salt,
-    doc_id) rows and emits posting blocks.  ``avgdl`` is indexed by field
+    ord) rows and emits posting blocks.  ``avgdl`` is indexed by field
     ordinal (the ``ford`` column).  Groups split across Arrow batches are
     carried to the next batch, so each group is built whole; per-batch
     work is pure numpy + Arrow buffer construction (no pandas hop, no
@@ -404,20 +481,19 @@ def make_block_builder(
                 continue
             carry = _slice_columns(cols, last_start, len(tid))
             done = _slice_columns(cols, 0, last_start)
-            yield _build_blocks_batch(done, n_docs, avgdl, k1, b, block_size, band_bits)
+            yield _build_blocks_batch(done, n_docs, avgdl, k1, b, block_size, ord_shift)
         if carry is not None and len(carry["term_id"]):
-            yield _build_blocks_batch(carry, n_docs, avgdl, k1, b, block_size, band_bits)
+            yield _build_blocks_batch(carry, n_docs, avgdl, k1, b, block_size, ord_shift)
 
     return run
 
 
 def _salt_postings(
-    staged: DataFrame, dict_df: DataFrame, config: EngineConfig
+    staged: DataFrame, dict_df: DataFrame, config: EngineConfig, ord_bits: int
 ) -> DataFrame:
     """Join staged postings with per-term (df, ford) and compute the
-    doc_id-top-bits salt for heavy terms: per-salt posting runs are
-    contiguous, signed-order monotone (top bit flipped), bounded, and
-    globally mergeable by concatenation."""
+    ord-top-bits salt for heavy terms: per-salt posting runs are contiguous
+    ord ranges, bounded, and globally mergeable by concatenation."""
     max_bits = int(math.log2(config.max_salts))
     if config.broadcast_dictionary:
         dict_df = F.broadcast(dict_df)
@@ -439,7 +515,7 @@ def _salt_postings(
             "salt",
             F.expr(
                 "cast(case when salt_bits <= 0 then 0 else "
-                "shiftrightunsigned(doc_id, 64 - salt_bits) ^ shiftleft(1L, salt_bits - 1) "
+                f"shiftright(ord, greatest({ord_bits} - salt_bits, 0)) "
                 "end as int)"
             ),
         )
@@ -447,7 +523,8 @@ def _salt_postings(
 
 
 def _build_postings_single_job(
-    spark: SparkSession, cat: IndexCatalog, config: EngineConfig, builder
+    spark: SparkSession, cat: IndexCatalog, config: EngineConfig, builder,
+    ord_bits: int,
 ) -> None:
     """All buckets in ONE Spark job: staging scan -> dictionary join ->
     one wide (term_id, salt) shuffle -> sorted block build -> bucket-
@@ -455,16 +532,16 @@ def _build_postings_single_job(
     job tails (the round-1 loop's bucket stage scaled 1.6x/4 because each
     of 8 jobs serialized its own shuffle+sort+write phases)."""
     staged_all = spark.read.parquet(cat.path(IndexCatalog.STAGING)).select(
-        "term_id", "doc_id", "tf", "dl", "pos_bytes"
+        "term_id", "ord", "tf", "dl", "pos_bytes"
     )
     dict_all = cat.read(spark, IndexCatalog.DICTIONARY).select(
         "term_id", "df", "ford"
     )
-    salted = _salt_postings(staged_all, dict_all, config)
+    salted = _salt_postings(staged_all, dict_all, config, ord_bits)
     n_parts = max(2 * spark.sparkContext.defaultParallelism, 16)
     blocks = (
         salted.repartition(n_parts, "term_id", "salt")
-        .sortWithinPartitions("term_id", "salt", "doc_id")
+        .sortWithinPartitions("term_id", "salt", "ord")
         .mapInArrow(builder, BLOCKS_SCHEMA)
         .withColumn(
             "bucket", F.pmod(F.col("term_id"), F.lit(config.n_term_buckets))
@@ -519,25 +596,103 @@ def build_index(
     """Full index build with per-bucket checkpoint/resume."""
     config = config or EngineConfig()
     cat = IndexCatalog(out_dir)
-    if not resume:
+    # resuming across an on-disk format change would mix ord- and
+    # hash-keyed stages — wipe and rebuild instead
+    stale = (
+        cat.manifest().get("stages")
+        and cat.get_meta("format") != INDEX_FORMAT_VERSION
+    )
+    if not resume or stale:
         import shutil
 
         shutil.rmtree(cat.root, ignore_errors=True)
         cat = IndexCatalog(out_dir)
+    cat.set_meta("format", INDEX_FORMAT_VERSION)
 
     corpus_with_ids = with_doc_ids(corpus) if "doc_id" not in corpus.columns else corpus
 
-    # -- stage 1: docs table (metadata + per-row sha256 invariant) ----------
+    # -- stage 0: dense-ordinal layout (one narrow count job) ---------------
+    # offsets are committed to the manifest so a killed/resumed build
+    # re-attaches IDENTICAL ords (and a changed input partitioning between
+    # runs is detected by the docs-stage count assertion below)
+    if not cat.stage_done("ords"):
+        offsets, n_total = partition_offsets(corpus_with_ids)
+        cat.commit_stage("ords", {"offsets": offsets, "n_docs": n_total})
+    ords_m = cat.manifest()["stages"]["ords"]["metrics"]
+    offsets = [int(x) for x in ords_m["offsets"]]
+    n_docs = int(ords_m["n_docs"])
+    band_bits = max(config.n_eval_bands - 1, 0).bit_length()
+    ord_shift = ord_shift_of(n_docs, band_bits)
+    # band layout + ordinal width are INDEX properties (blocks never cross
+    # band boundaries; bands are ord ranges) — readers must use these, not
+    # their own config's derivation
+    cat.set_meta("band_bits", band_bits)
+    cat.set_meta("ord_bits", ord_bits_of(n_docs))
+
+    # -- stage 1: docs table (ord + metadata + per-row sha256 invariant) ----
     if not cat.stage_done("docs"):
         meta_cols = ["doc_id", "repo", "path", "commit", "lang", "content_sha"] + [
             f for f in config.int_fields if f in corpus_with_ids.columns
         ]
-        docs = corpus_with_ids.select(*[c for c in meta_cols if c in corpus_with_ids.columns])
+        docs = attach_ords(
+            corpus_with_ids.select(
+                *[c for c in meta_cols if c in corpus_with_ids.columns]
+            ),
+            offsets,
+        )
         docs_obs = Observation("docs")
         cat.write(docs.observe(docs_obs, F.count(F.lit(1)).alias("n")), IndexCatalog.DOCS)
-        cat.commit_stage("docs", {"n_docs": int(docs_obs.get["n"])})
+        n_written = int(docs_obs.get["n"])
+        if n_written != n_docs:
+            raise RuntimeError(
+                f"docs pass saw {n_written} rows but the offsets pass saw "
+                f"{n_docs} — the input's partitioning is not stable across "
+                "scans; materialize the corpus (e.g. write it to parquet) "
+                "before building"
+            )
+        cat.commit_stage("docs", {"n_docs": n_docs})
 
-    n_docs = int(cat.manifest()["stages"]["docs"]["metrics"]["n_docs"])
+    # -- stage 1b: per-band ord -> doc_id translation arrays ----------------
+    # shipped into each (chunk, band) eval task (sorted by blk_seq, the
+    # concatenated payloads are the band's doc_ids indexed by
+    # ord - band_start); rows are capped so no single parquet cell or eval
+    # allocation exceeds ~2 MB even when a band holds millions of ords
+    if not cat.stage_done("docmap"):
+        docs_df = spark.read.parquet(cat.path(IndexCatalog.DOCS)).select(
+            "ord", "doc_id"
+        )
+        dm = docs_df.withColumn(
+            "band", F.shiftright("ord", ord_shift).cast("int")
+        )
+        docmap_chunk = 262_144
+
+        def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            band = int(key[0])
+            o = pdf["ord"].to_numpy(np.int64)
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            order = np.argsort(o)
+            ids = ids[order]
+            rows = []
+            for seq, lo in enumerate(range(0, len(ids), docmap_chunk)):
+                blk = ids[lo : lo + docmap_chunk]
+                rows.append((band, seq, len(blk), blk.astype("<i8").tobytes()))
+            return pd.DataFrame(
+                rows, columns=["band", "blk_seq", "n", "payload"]
+            )
+
+        dm_schema = T.StructType(
+            [
+                T.StructField("band", T.IntegerType(), False),
+                T.StructField("blk_seq", T.IntegerType(), False),
+                T.StructField("n", T.IntegerType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        )
+        cat.write(
+            dm.groupBy("band").applyInPandas(pack, dm_schema),
+            IndexCatalog.DOCMAP,
+        )
+        cat.commit_stage("docmap")
 
     # -- stage 2: staged tokens, partitioned by term-hash bucket ------------
     # per-field sum(tf) rides the write as conditional-sum observations:
@@ -546,7 +701,7 @@ def build_index(
     # second pass over staging at all.
     field_names = [f.name for f in config.fields]
     if not cat.stage_done("staging"):
-        tokens = tokenize_corpus(corpus_with_ids, config)
+        tokens = tokenize_corpus(corpus_with_ids, config, offsets)
         staged = tokens.withColumn(
             "bucket", F.pmod(F.col("term_id"), F.lit(config.n_term_buckets))
         )
@@ -598,11 +753,6 @@ def build_index(
 
     stats_rows = spark.read.parquet(cat.path(IndexCatalog.DOC_STATS)).collect()
     avgdl = {r["field"]: float(r["avgdl"]) for r in stats_rows}
-    band_bits = max(config.n_eval_bands - 1, 0).bit_length()
-    # the band layout is a property of the INDEX (blocks never cross band
-    # boundaries); readers must group by the index's bands, not their own
-    # config's — record it so virtual blocks and eval grouping stay aligned
-    cat.set_meta("band_bits", band_bits)
 
     # -- stage 4: dictionary (df/cf), ONE job for every bucket --------------
     # numeric groupBy; the term string (shipped once per tokenizer chunk,
@@ -659,12 +809,13 @@ def build_index(
     # one Spark job per bucket; metrics come from Observation (no read-back)
     avgdl_ord = np.array([avgdl.get(fn, 1.0) for fn in field_names], dtype=np.float64)
     builder = make_block_builder(
-        float(n_docs), avgdl_ord, config.k1, config.b, config.block_size, band_bits
+        float(n_docs), avgdl_ord, config.k1, config.b, config.block_size, ord_shift
     )
+    ord_bits = ord_bits_of(n_docs)
     done = cat.committed_buckets()
     todo = [b for b in range(config.n_term_buckets) if b not in done]
     if todo and not config.bucket_resume:
-        _build_postings_single_job(spark, cat, config, builder)
+        _build_postings_single_job(spark, cat, config, builder, ord_bits)
         todo = []
     if todo:
         import threading
@@ -683,20 +834,20 @@ def build_index(
             # field/term string columns of staging; df + field ordinal come
             # from the (term_id-keyed) dictionary join
             staged_b = staged_all.where(F.col("bucket") == bucket).select(
-                "term_id", "doc_id", "tf", "dl", "pos_bytes"
+                "term_id", "ord", "tf", "dl", "pos_bytes"
             )
             n_terms = terms_per_bucket.get(bucket, 0)
             dict_b = dict_all.where(F.col("bucket") == bucket).select(
                 "term_id", "df", "ford"
             )
-            salted = _salt_postings(staged_b, dict_b, config)
+            salted = _salt_postings(staged_b, dict_b, config, ord_bits)
             # enough tasks per job that concurrent bucket jobs can fill
             # freed slots (finer granularity costs little; too-coarse tasks
             # leave cores idle during each job's tail)
             n_parts = max(spark.sparkContext.defaultParallelism, 8)
             blocks = (
                 salted.repartition(n_parts, "term_id", "salt")
-                .sortWithinPartitions("term_id", "salt", "doc_id")
+                .sortWithinPartitions("term_id", "salt", "ord")
                 .mapInArrow(builder, BLOCKS_SCHEMA)
             )
             obs = Observation(f"bucket_{bucket}")

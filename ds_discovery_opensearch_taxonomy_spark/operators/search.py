@@ -69,6 +69,14 @@ class IndexReader:
                 "band_bits", max(self.config.n_eval_bands - 1, 0).bit_length()
             )
         )
+        #: width of the dense ordinal space — with band_bits it fixes the
+        #: ord -> band mapping (band = ord >> ord_shift); an index property
+        from ds_discovery_opensearch_taxonomy_spark.operators.index_build import (
+            ord_bits_of,
+        )
+
+        self.ord_bits = int(self.cat.get_meta("ord_bits", ord_bits_of(self.n_docs)))
+        self.ord_shift = max(self.ord_bits - self.band_bits, 0)
         #: compile_queries results per (categories, config) — the index a
         #: reader points at is immutable, so expansions/df never go stale
         #: (mirrors the reference's static parsed-query cache,
@@ -95,6 +103,10 @@ class IndexReader:
 
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(self.cat.path(IndexCatalog.DOCS))
+
+    def docmap(self) -> DataFrame:
+        """Per-band packed ord -> doc_id arrays (band, blk_seq, n, payload)."""
+        return self.spark.read.parquet(self.cat.path(IndexCatalog.DOCMAP))
 
     # -- dictionary expansion -------------------------------------------------
 
@@ -269,6 +281,13 @@ class ExpandedFuzzyNode(qp.Node):
 
 #: pseudo-field hosting virtual posting sets in tid_map/needed_terms
 VIRTUAL_FIELD = "__virtual__"
+
+#: reserved term_id carrying per-band packed ord -> doc_id arrays through
+#: the eval shuffle (replicated per chunk by the terms_df broadcast join,
+#: so every (chunk, band) task can translate its ords without a join
+#: against the docs table).  Collision with a real blake2b term_id is
+#: ~2^-64 and would be caught by the dictionary collision check.
+DOCMAP_TID = (1 << 63) - 1
 
 
 @dataclass(frozen=True)
@@ -502,17 +521,25 @@ def _encode_virtual_key(
     )
 
     vdf = reader.docs().where(virtual_condition(node)).select(
-        F.lit(vtid).cast("long").alias("term_id"), F.col("doc_id")
+        F.lit(vtid).cast("long").alias("term_id"),
+        F.col("ord").alias("doc_id"),  # posting id space is the dense ord
     )
-    tot = band_bits + _VIRTUAL_SALT_BITS
-    # top `tot` bits of doc_id with the sign bit flipped: monotone over
-    # signed doc_id order; high bits -> band, low bits -> salt
-    key_col = F.shiftrightunsigned(F.col("doc_id"), 64 - tot).bitwiseXOR(
-        F.lit(1 << (tot - 1))
-    )
+    ord_shift = max(reader.ord_bits - band_bits, 0)
+    # band EXACTLY as the index derives it (ord >> ord_shift); salt = the
+    # next few ord bits below the band boundary, so salts are contiguous
+    # ord ranges within the band (clamped for tiny ordinal spaces)
+    vsalt_bits = min(_VIRTUAL_SALT_BITS, ord_shift)
     vdf = vdf.withColumn(
-        "band", F.shiftright(key_col, _VIRTUAL_SALT_BITS).cast("int")
-    ).withColumn("salt", (key_col % (1 << _VIRTUAL_SALT_BITS)).cast("int"))
+        "band", F.shiftright(F.col("doc_id"), ord_shift).cast("int")
+    ).withColumn(
+        "salt",
+        (
+            F.shiftright(F.col("doc_id"), ord_shift - vsalt_bits)
+            % (1 << vsalt_bits)
+        ).cast("int")
+        if vsalt_bits
+        else F.lit(0),
+    )
 
     block_size = config.block_size
 
@@ -669,6 +696,18 @@ def _partial_topk(ids: np.ndarray, sc: np.ndarray, k: int):
     return ids[order], sc[order]
 
 
+def _topk_keep_ties(ids: np.ndarray, sc: np.ndarray, k: int):
+    """Top-k by score, keeping ALL docs tied with the k-th score.  Used for
+    in-band cuts while ids are still ords: the final (score desc, doc_id
+    asc) selection happens after ord -> doc_id translation, so boundary
+    ties must survive the band cut."""
+    if len(ids) <= k:
+        return ids, sc
+    kth = np.partition(sc, -k)[-k]
+    keep = sc >= kth
+    return ids[keep], sc[keep]
+
+
 class _Evaluator:
     """Evaluates one compiled query against one (category, band) block group.
 
@@ -764,7 +803,7 @@ class _Evaluator:
         clauses = self._flatten_disjunction(node)
         if clauses is None:
             ids, sc = self.eval(node)
-            return _partial_topk(ids, sc, k)
+            return _topk_keep_ties(ids, sc, k)
         scorers = sorted(
             ((self._clause_ub(c), c) for c in clauses), key=lambda x: -x[0]
         )
@@ -794,7 +833,7 @@ class _Evaluator:
                 break
             cids, csc = self.eval(c)
             acc_ids, acc_sc = _union_add(acc_ids, acc_sc, cids, csc)
-        return _partial_topk(acc_ids, acc_sc, k)
+        return _topk_keep_ties(acc_ids, acc_sc, k)
 
     def _flatten_disjunction(self, node: qp.Node) -> list[qp.Node] | None:
         if isinstance(node, (qp.TermNode, qp.OrTermsNode, qp.PhraseNode,
@@ -1121,6 +1160,13 @@ def run_categories(
             term_chunks[(tid, ch)] = term_chunks.get((tid, ch), False) or (c in pcs)
     if not term_chunks:
         return spark.createDataFrame([], RESULT_SCHEMA)
+    # one DOCMAP row set per chunk: the broadcast join below replicates the
+    # per-band ord->doc_id arrays into every (chunk, band) eval task.  A
+    # side effect worth keeping: every (chunk, band) group EXISTS even when
+    # no real posting lands in it, so virtual-only categories evaluate in
+    # every band deterministically regardless of chunk packing.
+    for ch in chunk_cids:
+        term_chunks[(DOCMAP_TID, ch)] = False
     terms_df = spark.createDataFrame(
         sorted((tid, ch, np_) for (tid, ch), np_ in term_chunks.items()),
         ["term_id", "chunk", "needs_pos"],
@@ -1152,8 +1198,25 @@ def run_categories(
     if virtual:
         vblocks = build_virtual_blocks(reader, virtual, tid_map, config, band_bits)
         blocks = vblocks if blocks is None else blocks.unionByName(vblocks)
-    if blocks is None:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+    # per-band ord -> doc_id translation arrays as sentinel block rows
+    # (payload rides the ``docids`` column; ordering by blk_seq)
+    dmap = reader.docmap().select(
+        F.lit(DOCMAP_TID).alias("term_id"),
+        F.lit(0).alias("salt"),
+        F.col("band"),
+        F.col("blk_seq"),
+        F.col("n"),
+        F.lit(0).cast("long").alias("min_docid"),
+        F.lit(0).cast("long").alias("max_docid"),
+        F.lit(0).cast("long").alias("df"),
+        F.lit(0.0).alias("idf"),
+        F.lit(0.0).alias("max_score_ub"),
+        F.col("payload").alias("docids"),
+        F.lit(None).cast("binary").alias("tfs"),
+        F.lit(None).cast("binary").alias("dls"),
+        F.lit(None).cast("binary").alias("posdata"),
+    )
+    blocks = dmap if blocks is None else blocks.unionByName(dmap)
     tagged = blocks.join(F.broadcast(terms_df), ["term_id"])
     # drop position streams for non-phrase terms BEFORE the eval shuffle
     # (the projection runs map-side, between the join and the exchange)
@@ -1175,6 +1238,7 @@ def run_categories(
 
     n_docs = float(reader.n_docs)
     avgdl = dict(reader.avgdl)
+    ord_shift = reader.ord_shift
     k1, b = config.k1, config.b
     compiled_b = spark.sparkContext.broadcast(compiled)
     df_map_b = spark.sparkContext.broadcast(df_map)
@@ -1189,6 +1253,14 @@ def run_categories(
         rows_by_term: dict[int, pd.DataFrame] = {
             int(t): rows for t, rows in pdf.groupby("term_id", sort=False)
         }
+        # the band's ord -> doc_id translation array (sentinel rows; the
+        # band is a contiguous ord range starting at band << ord_shift)
+        dm_rows = rows_by_term.pop(DOCMAP_TID, None)
+        ordmap = None
+        if dm_rows is not None:
+            dm_rows = dm_rows.sort_values("blk_seq")
+            ordmap = np.frombuffer(b"".join(dm_rows["docids"]), dtype="<i8")
+        band_start = np.int64(band) << np.int64(ord_shift)
         ev = _Evaluator(
             rows_by_term, df_map_b.value, n_docs, k1, b, avgdl, scored,
             needs_pos, tid_map_b.value,
@@ -1202,12 +1274,16 @@ def run_categories(
                 n_by_term.get(tid_map.get(key), 0) for key in needed_terms(node)
             )
             if top_k is not None and scored and group_postings >= _TOPK_MIN_POSTINGS:
-                # per-band block-max top-k (global top-k reduced afterwards)
+                # per-band block-max top-k: the in-band cut keeps boundary
+                # score-TIES (ord order is not doc_id order) so the global
+                # (score desc, doc_id asc) window stays exact
                 ids, sc = ev.eval_topk(node, top_k)
             else:
                 ids, sc = ev.eval(node)
-                if top_k is not None:
-                    ids, sc = _partial_topk(ids, sc, top_k)
+            if ordmap is not None and len(ids):
+                ids = ordmap[ids - band_start]  # ord -> external doc_id
+            if top_k is not None and len(ids) > top_k:
+                ids, sc = _partial_topk(ids, sc, top_k)
             frames.append(pd.DataFrame({"category_id": cid, "doc_id": ids, "score": sc}))
         return pd.concat(frames, ignore_index=True)
 

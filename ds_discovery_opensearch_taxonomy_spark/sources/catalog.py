@@ -23,6 +23,10 @@ class IndexCatalog:
     DICTIONARY = "dictionary"
     POSTINGS = "postings"
     DOCS = "docs"
+    #: per-band packed ord -> doc_id translation arrays (Lucene stores the
+    #: external key as a stored field / docvalue next to the segment-local
+    #: docID; this is the distributed analogue)
+    DOCMAP = "docmap"
     DOC_STATS = "doc_stats"
     STAGING = "staging"
     RESULTS = "results"

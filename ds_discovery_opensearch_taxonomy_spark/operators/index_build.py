@@ -77,9 +77,9 @@ from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (  # noqa
     term_id_of,
 )
 
-#: bump when the on-disk table layout changes incompatibly (2 = dense-ord
-#: postings + DOCMAP); build_index refuses to resume across versions
-INDEX_FORMAT_VERSION = 2
+#: bump when the on-disk table layout changes incompatibly (3 = dense-ord
+#: postings + DOCMAP with dl sidecars); build_index refuses to resume across versions
+INDEX_FORMAT_VERSION = 3
 
 #: posting blocks are keyed by the numeric ``term_id`` (see term_id_of) — the
 #: heavy build/query paths stay ALL-NUMERIC (term strings live only in the
@@ -105,7 +105,9 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("max_score_ub", T.DoubleType(), False),
         T.StructField("docids", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
-        T.StructField("dls", T.BinaryType(), False),
+        # NO per-posting dls stream: document lengths live in the per-band
+        # DOCMAP sidecar (one int32 per doc-field, not one varbyte per
+        # POSTING) - the Lucene norms-file analogue, distributed
         T.StructField("posdata", T.BinaryType(), False),
     ]
 )
@@ -328,7 +330,6 @@ def _arrow_blocks_schema():
             ("max_score_ub", pa.float64()),
             ("docids", pa.binary()),
             ("tfs", pa.binary()),
-            ("dls", pa.binary()),
             ("posdata", pa.binary()),
         ]
     )
@@ -410,7 +411,6 @@ def _build_blocks_batch(
     gaps[starts] = u[starts]
     doc_bytes, doc_ends = codec.varbyte_encode_offsets(gaps)
     tf_bytes, tf_ends = codec.varbyte_encode_offsets(tfs.astype(np.uint64))
-    dl_bytes, dl_ends = codec.varbyte_encode_offsets(dls.astype(np.uint64))
 
     # positions arrive pre-encoded per posting (delta varbyte, absolute
     # first value) as ONE stream + offsets — block posdata boundaries are
@@ -425,7 +425,6 @@ def _build_blocks_batch(
 
     de = np.concatenate([[0], doc_ends])
     te = np.concatenate([[0], tf_ends])
-    le = np.concatenate([[0], dl_ends])
     bounds = np.append(starts, n)
     arrays = [
         pa.array(tid[starts], pa.int64()),
@@ -440,7 +439,6 @@ def _build_blocks_batch(
         pa.array(ubs, pa.float64()),
         _binary_from_stream(doc_bytes, de[bounds]),
         _binary_from_stream(tf_bytes, te[bounds]),
-        _binary_from_stream(dl_bytes, le[bounds]),
         _binary_from_stream(pos_data, pos_off[bounds]),
     ]
     return pa.RecordBatch.from_arrays(arrays, schema=_arrow_blocks_schema())
@@ -652,48 +650,6 @@ def build_index(
             )
         cat.commit_stage("docs", {"n_docs": n_docs})
 
-    # -- stage 1b: per-band ord -> doc_id translation arrays ----------------
-    # shipped into each (chunk, band) eval task (sorted by blk_seq, the
-    # concatenated payloads are the band's doc_ids indexed by
-    # ord - band_start); rows are capped so no single parquet cell or eval
-    # allocation exceeds ~2 MB even when a band holds millions of ords
-    if not cat.stage_done("docmap"):
-        docs_df = spark.read.parquet(cat.path(IndexCatalog.DOCS)).select(
-            "ord", "doc_id"
-        )
-        dm = docs_df.withColumn(
-            "band", F.shiftright("ord", ord_shift).cast("int")
-        )
-        docmap_chunk = 262_144
-
-        def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            band = int(key[0])
-            o = pdf["ord"].to_numpy(np.int64)
-            ids = pdf["doc_id"].to_numpy(np.int64)
-            order = np.argsort(o)
-            ids = ids[order]
-            rows = []
-            for seq, lo in enumerate(range(0, len(ids), docmap_chunk)):
-                blk = ids[lo : lo + docmap_chunk]
-                rows.append((band, seq, len(blk), blk.astype("<i8").tobytes()))
-            return pd.DataFrame(
-                rows, columns=["band", "blk_seq", "n", "payload"]
-            )
-
-        dm_schema = T.StructType(
-            [
-                T.StructField("band", T.IntegerType(), False),
-                T.StructField("blk_seq", T.IntegerType(), False),
-                T.StructField("n", T.IntegerType(), False),
-                T.StructField("payload", T.BinaryType(), False),
-            ]
-        )
-        cat.write(
-            dm.groupBy("band").applyInPandas(pack, dm_schema),
-            IndexCatalog.DOCMAP,
-        )
-        cat.commit_stage("docmap")
-
     # -- stage 2: staged tokens, partitioned by term-hash bucket ------------
     # per-field sum(tf) rides the write as conditional-sum observations:
     # sum(tf) over staged rows of a field == sum of per-doc field lengths
@@ -753,6 +709,66 @@ def build_index(
 
     stats_rows = spark.read.parquet(cat.path(IndexCatalog.DOC_STATS)).collect()
     avgdl = {r["field"]: float(r["avgdl"]) for r in stats_rows}
+
+    # -- stage 3b: DOCMAP — per-band ord -> doc_id arrays + dl sidecars ----
+    # ford = -1 rows carry the band's packed int64 doc_ids (ord order);
+    # ford = k rows carry the band's packed int32 per-doc lengths of field
+    # k (dense by ord, 0 where the doc has no tokens in the field) — the
+    # Lucene norms-file analogue, ONE int per doc-field instead of one
+    # varbyte per POSTING in the blocks.  Rows are chunked so no parquet
+    # cell or eval allocation exceeds ~2 MB even for giant bands.
+    if not cat.stage_done("docmap"):
+        docs_df = spark.read.parquet(cat.path(IndexCatalog.DOCS)).select(
+            "ord", "doc_id"
+        )
+        ids_part = docs_df.select(
+            F.lit(-1).alias("ford"), "ord", F.col("doc_id").alias("value")
+        )
+        staged = spark.read.parquet(cat.path(IndexCatalog.STAGING))
+        # dl is constant over a (doc, field)'s staged rows; the groupBy
+        # map-side-combines down to ~n_fields rows per doc before shuffling
+        dls_part = staged.groupBy("ord", "ford").agg(
+            F.max("dl").cast("long").alias("value")
+        ).select("ford", "ord", "value")
+        dm = ids_part.unionByName(dls_part).withColumn(
+            "band", F.shiftright("ord", ord_shift).cast("int")
+        )
+        docmap_chunk = 262_144
+        _n_docs, _shift = int(n_docs), int(ord_shift)
+
+        def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            band, ford = int(key[0]), int(key[1])
+            band_start = band << _shift
+            band_n = min(_n_docs - band_start, 1 << _shift)
+            o = pdf["ord"].to_numpy(np.int64)
+            vals = pdf["value"].to_numpy(np.int64)
+            if ford < 0:  # dense & complete: sort into ord order
+                arr = vals[np.argsort(o)].astype("<i8")
+            else:  # sparse per field: scatter into a dense int32 array
+                arr = np.zeros(band_n, dtype="<i4")
+                arr[o - band_start] = vals
+            rows = []
+            for seq, lo in enumerate(range(0, len(arr), docmap_chunk)):
+                blk = arr[lo : lo + docmap_chunk]
+                rows.append((band, ford, seq, len(blk), blk.tobytes()))
+            return pd.DataFrame(
+                rows, columns=["band", "ford", "blk_seq", "n", "payload"]
+            )
+
+        dm_schema = T.StructType(
+            [
+                T.StructField("band", T.IntegerType(), False),
+                T.StructField("ford", T.IntegerType(), False),
+                T.StructField("blk_seq", T.IntegerType(), False),
+                T.StructField("n", T.IntegerType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        )
+        cat.write(
+            dm.groupBy("band", "ford").applyInPandas(pack, dm_schema),
+            IndexCatalog.DOCMAP,
+        )
+        cat.commit_stage("docmap")
 
     # -- stage 4: dictionary (df/cf), ONE job for every bucket --------------
     # numeric groupBy; the term string (shipped once per tokenizer chunk,

@@ -105,8 +105,15 @@ class IndexReader:
         return self.spark.read.parquet(self.cat.path(IndexCatalog.DOCS))
 
     def docmap(self) -> DataFrame:
-        """Per-band packed ord -> doc_id arrays (band, blk_seq, n, payload)."""
-        return self.spark.read.parquet(self.cat.path(IndexCatalog.DOCMAP))
+        """Per-band packed sidecars (band, ford, blk_seq, n, payload):
+        ford == -1 rows hold ord -> doc_id arrays, ford == k rows field k's
+        per-doc lengths.  Persisted per reader — every query run ships
+        these into its eval tasks, and the table is ~16 bytes/doc."""
+        if not hasattr(self, "_docmap_df"):
+            self._docmap_df = self.spark.read.parquet(
+                self.cat.path(IndexCatalog.DOCMAP)
+            ).persist()
+        return self._docmap_df
 
     # -- dictionary expansion -------------------------------------------------
 
@@ -489,7 +496,7 @@ def build_virtual_blocks(
     predicate scan (filters push down) -> band+salt from doc_id bits
     (signed-order monotone, same scheme as the index build) -> per
     (term_id, band, salt) group sort + gap/varbyte encode.  Groups are
-    bounded by corpus/(bands*2^salt_bits); tfs/dls/posdata are constant-1/0
+    bounded by corpus/(bands*2^salt_bits); tfs/posdata are constant-1/0
     streams so the normal decode path works unchanged (virtual sets score
     constant 1.0)."""
     parts = []
@@ -550,7 +557,7 @@ def _encode_virtual_key(
         starts = np.arange(0, n, block_size, dtype=np.int64)
         ends = np.minimum(starts + block_size, n)
         rows = {k: [] for k in (
-            "blk_seq", "n", "min_docid", "max_docid", "docids", "tfs", "dls",
+            "blk_seq", "n", "min_docid", "max_docid", "docids", "tfs",
             "posdata",
         )}
         ones = None
@@ -566,7 +573,6 @@ def _encode_virtual_key(
             if ones is None or len(ones) != hi - lo:
                 ones = codec.varbyte_encode(np.ones(hi - lo, dtype=np.uint64))
             rows["tfs"].append(ones)
-            rows["dls"].append(ones)
             rows["posdata"].append(b"\x00" * (hi - lo))  # one pos=0 per posting
         k = len(rows["blk_seq"])
         return pd.DataFrame(
@@ -583,7 +589,6 @@ def _encode_virtual_key(
                 "max_score_ub": np.ones(k),
                 "docids": rows["docids"],
                 "tfs": rows["tfs"],
-                "dls": rows["dls"],
                 "posdata": rows["posdata"],
             }
         )
@@ -599,12 +604,11 @@ def _encode_virtual_key(
 
 
 class _TermData:
-    __slots__ = ("ids", "tfs", "dls", "pos_offsets", "pos_flat")
+    __slots__ = ("ids", "tfs", "pos_offsets", "pos_flat")
 
-    def __init__(self, ids, tfs, dls, pos_offsets, pos_flat):
+    def __init__(self, ids, tfs, pos_offsets, pos_flat):
         self.ids = ids
         self.tfs = tfs
-        self.dls = dls
         self.pos_offsets = pos_offsets
         self.pos_flat = pos_flat
 
@@ -620,7 +624,7 @@ def _decode_rows(rows: pd.DataFrame, need_positions: bool) -> _TermData:
     signed-order ranges, so sorting rows by (salt, blk_seq) and concatenating
     yields globally sorted doc ids.
 
-    Each varbyte stream (docids/tfs/dls/posdata) is decoded in ONE pass over
+    Each varbyte stream (docids/tfs/posdata) is decoded in ONE pass over
     the concatenation of the term's blocks — every block's first docid gap
     is absolute, so per-block values are recovered with a segmented cumsum
     (subtract the carried prefix at each block start) instead of per-block
@@ -637,13 +641,6 @@ def _decode_rows(rows: pd.DataFrame, need_positions: bool) -> _TermData:
         cum -= np.repeat(base, ns)
         ids = (cum - _U64_SHIFT).astype(np.int64)
     tfs = codec.varbyte_decode(b"".join(rows["tfs"]), count=total).astype(np.int64)
-    # dls ships only for scored runs (BM25 length norm); bool matching
-    # never reads it, so the column is pruned from the eval shuffle there
-    dls = (
-        codec.varbyte_decode(b"".join(rows["dls"]), count=total).astype(np.int64)
-        if "dls" in rows.columns
-        else None
-    )
     pos_offsets = pos_flat = None
     if need_positions and rows["posdata"].iloc[0] is not None:
         # per-posting position counts == tfs (no separate poslens stream);
@@ -651,7 +648,7 @@ def _decode_rows(rows: pd.DataFrame, need_positions: bool) -> _TermData:
         # posdata arrives null for terms no phrase in this chunk uses —
         # their positions were dropped before the eval shuffle.
         pos_offsets, pos_flat = codec.decode_positions(tfs, b"".join(rows["posdata"]))
-    return _TermData(ids, tfs, dls, pos_offsets, pos_flat)
+    return _TermData(ids, tfs, pos_offsets, pos_flat)
 
 
 def _union_add(ids_a, sc_a, ids_b, sc_b):
@@ -717,7 +714,8 @@ class _Evaluator:
 
     def __init__(self, rows_by_term: dict, df_map: dict, n_docs: float,
                  k1: float, b: float, avgdl: dict, scored: bool, needs_pos: bool,
-                 tid_map: dict | None = None):
+                 tid_map: dict | None = None,
+                 dl_by_field: dict | None = None, band_start: int = 0):
         # rows_by_term is keyed by term_id (numeric postings key); tid_map
         # translates the AST's (field, term) to it.  Virtual doc sets arrive
         # as ordinary rows under their ``(__virtual__, key)`` term_id.
@@ -731,6 +729,17 @@ class _Evaluator:
         self.avgdl = avgdl
         self.scored = scored
         self.needs_pos = needs_pos
+        #: per-band packed per-doc field lengths (BM25 norms sidecar);
+        #: indexed by ord - band_start
+        self.dl_by_field = dl_by_field or {}
+        self.band_start = np.int64(band_start)
+
+    def _dls(self, field: str, ids: np.ndarray) -> np.ndarray:
+        """Per-doc lengths of ``field`` for the given ords (norms lookup)."""
+        arr = self.dl_by_field.get(field)
+        if arr is None:
+            return np.ones(len(ids))
+        return arr[ids - self.band_start].astype(np.float64)
 
     def _term(self, field: str, term: str) -> _TermData | None:
         key = self.tid_map.get((field, term))
@@ -780,7 +789,7 @@ class _Evaluator:
         if not self.scored:
             return np.zeros(len(td.ids))
         return self._idf(field, term) * scoring.tf_norm(
-            td.tfs.astype(np.float64), td.dls.astype(np.float64),
+            td.tfs.astype(np.float64), self._dls(field, td.ids),
             self.avgdl[field], self.k1, self.b,
         )
 
@@ -868,7 +877,7 @@ class _Evaluator:
                 return _EMPTY, _EMPTY
             td = _decode_rows(rows[keep], self.needs_pos)
             sc = self._idf(node.field, node.term) * scoring.tf_norm(
-                td.tfs.astype(np.float64), td.dls.astype(np.float64),
+                td.tfs.astype(np.float64), self._dls(node.field, td.ids),
                 self.avgdl[node.field], self.k1, self.b,
             )
             return td.ids, sc
@@ -956,7 +965,7 @@ class _Evaluator:
     _POS_OFF = np.int64(1 << 12)
 
     def _slot_keys(
-        self, tds: list[_TermData], si: int, cand: np.ndarray, dls: np.ndarray
+        self, tds: list[_TermData], si: int, cand: np.ndarray
     ) -> np.ndarray:
         """Sorted int64 keys ``doc_index << 32 | (pos - si + _POS_OFF)`` for
         every occurrence of slot ``si``'s terms in candidate docs — fully
@@ -969,8 +978,6 @@ class _Evaluator:
             if not len(sel):
                 continue
             doc_idx = j[sel]
-            if td.dls is not None:  # absent in bool mode (no length norm)
-                dls[doc_idx] = td.dls[sel]
             starts = td.pos_offsets[sel]
             lens = td.pos_offsets[sel + 1] - starts
             total = int(lens.sum())
@@ -1016,9 +1023,8 @@ class _Evaluator:
             if len(cand) == 0:
                 return _EMPTY, _EMPTY
             slot_tds.append(tds)
-        dls = np.zeros(len(cand), dtype=np.int64)
         slot_keys = [
-            self._slot_keys(tds, si, cand, dls) for si, tds in enumerate(slot_tds)
+            self._slot_keys(tds, si, cand) for si, tds in enumerate(slot_tds)
         ]
         if node.slop <= 0:
             # exact: one sorted-set intersection chain over (doc, pos) keys
@@ -1057,7 +1063,7 @@ class _Evaluator:
             self._idf(node.field, t) for slot in node.slots for t in slot
         )
         sc = idf_sum * scoring.tf_norm(
-            freqs[hit], dls[hit].astype(np.float64), self.avgdl[node.field], self.k1, self.b
+            freqs[hit], self._dls(node.field, ids), self.avgdl[node.field], self.k1, self.b
         )
         return ids, sc
 
@@ -1200,9 +1206,13 @@ def run_categories(
         blocks = vblocks if blocks is None else blocks.unionByName(vblocks)
     # per-band ord -> doc_id translation arrays as sentinel block rows
     # (payload rides the ``docids`` column; ordering by blk_seq)
-    dmap = reader.docmap().select(
+    dmap = reader.docmap()
+    if not scored:
+        # dl sidecars (ford >= 0) are only read by BM25 length norms
+        dmap = dmap.where(F.col("ford") == -1)
+    dmap = dmap.select(
         F.lit(DOCMAP_TID).alias("term_id"),
-        F.lit(0).alias("salt"),
+        F.col("ford").alias("salt"),  # sidecar kind rides the salt column
         F.col("band"),
         F.col("blk_seq"),
         F.col("n"),
@@ -1213,7 +1223,6 @@ def run_categories(
         F.lit(0.0).alias("max_score_ub"),
         F.col("payload").alias("docids"),
         F.lit(None).cast("binary").alias("tfs"),
-        F.lit(None).cast("binary").alias("dls"),
         F.lit(None).cast("binary").alias("posdata"),
     )
     blocks = dmap if blocks is None else blocks.unionByName(dmap)
@@ -1233,13 +1242,15 @@ def run_categories(
     eval_cols = ["term_id", "chunk", "salt", "band", "blk_seq", "n",
                  "docids", "tfs", "posdata"]
     if scored:
-        eval_cols += ["min_docid", "max_docid", "max_score_ub", "dls"]
+        eval_cols += ["min_docid", "max_docid", "max_score_ub"]
     tagged = tagged.select(*eval_cols)
 
     n_docs = float(reader.n_docs)
     avgdl = dict(reader.avgdl)
     ord_shift = reader.ord_shift
     k1, b = config.k1, config.b
+    field_names = [f.name for f in config.fields]
+    field_names_b = spark.sparkContext.broadcast(field_names)
     compiled_b = spark.sparkContext.broadcast(compiled)
     df_map_b = spark.sparkContext.broadcast(df_map)
     tid_map_b = spark.sparkContext.broadcast(tid_map)
@@ -1253,17 +1264,26 @@ def run_categories(
         rows_by_term: dict[int, pd.DataFrame] = {
             int(t): rows for t, rows in pdf.groupby("term_id", sort=False)
         }
-        # the band's ord -> doc_id translation array (sentinel rows; the
-        # band is a contiguous ord range starting at band << ord_shift)
+        # the band's sidecars (sentinel rows; the band is a contiguous ord
+        # range starting at band << ord_shift): salt == -1 rows are the
+        # packed int64 ord -> doc_id array, salt == k rows field k's packed
+        # int32 per-doc lengths (BM25 norms)
         dm_rows = rows_by_term.pop(DOCMAP_TID, None)
-        ordmap = None
-        if dm_rows is not None:
-            dm_rows = dm_rows.sort_values("blk_seq")
-            ordmap = np.frombuffer(b"".join(dm_rows["docids"]), dtype="<i8")
         band_start = np.int64(band) << np.int64(ord_shift)
+        ordmap = None
+        dl_by_field: dict[str, np.ndarray] = {}
+        if dm_rows is not None:
+            for ford_v, gr in dm_rows.groupby("salt", sort=False):
+                buf = b"".join(gr.sort_values("blk_seq")["docids"])
+                if int(ford_v) < 0:
+                    ordmap = np.frombuffer(buf, dtype="<i8")
+                else:
+                    dl_by_field[field_names_b.value[int(ford_v)]] = (
+                        np.frombuffer(buf, dtype="<i4")
+                    )
         ev = _Evaluator(
             rows_by_term, df_map_b.value, n_docs, k1, b, avgdl, scored,
-            needs_pos, tid_map_b.value,
+            needs_pos, tid_map_b.value, dl_by_field, int(band_start),
         )
         tid_map = tid_map_b.value
         n_by_term = {t: int(rows["n"].sum()) for t, rows in rows_by_term.items()}

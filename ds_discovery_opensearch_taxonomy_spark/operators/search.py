@@ -30,6 +30,7 @@ postings" (constant-score doc-id sets, Lucene's constant-score rewrite).
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -96,7 +97,15 @@ class IndexReader:
     # -- tables -------------------------------------------------------------
 
     def dictionary(self) -> DataFrame:
-        return self.cat.read(self.spark, IndexCatalog.DICTIONARY)
+        """Term dictionary (field, term, term_id, df, cf, bucket) — persisted
+        per reader: every compile does a lookup pass over it, and the table
+        is ~|vocab| rows (executors cache their slices; spills to disk at
+        real vocabulary scale)."""
+        if not hasattr(self, "_dictionary_df"):
+            self._dictionary_df = self.cat.read(
+                self.spark, IndexCatalog.DICTIONARY
+            ).persist()
+        return self._dictionary_df
 
     def postings(self) -> DataFrame:
         return self.cat.read(self.spark, IndexCatalog.POSTINGS)
@@ -129,105 +138,159 @@ class IndexReader:
                 out.append(re_escape_java(ch))
         return "^" + "".join(out) + "$"
 
-    def expand_wildcards(self, patterns: set[tuple[str, str]]) -> dict[tuple[str, str], tuple[str, ...]]:
-        """One dictionary pass expanding every (field, wildcard-pattern).
+    def lookup_dictionary(
+        self,
+        exact: set[tuple[str, str]],
+        patterns: set[tuple[str, str]],
+        ranges: set[qp.TermRangeNode],
+        fuzzies: set[qp.FuzzyNode],
+    ) -> tuple[dict, dict, dict, dict, dict, dict]:
+        """ONE dictionary job serving every compile-time lookup: exact-term
+        df/bucket/term_id fetch, wildcard expansion, term-range expansion,
+        and fuzzy expansion.  Compile latency is job-count-bound (each Spark
+        job costs ~1-3 s of fixed scheduling/codegen before any data moves),
+        so the four lookups share a single scan: one OR-of-conditions filter
+        gates the rows, a when-array explode tags each row with EVERY
+        construct it matched, and the collected rows carry df/bucket/term_id
+        so no second fetch pass is needed.
 
-        Scale note: a leading-wildcard scan is a full dictionary sweep; the
-        dictionary is ~|vocab| rows (tiny vs postings), so a scan per query
-        batch is acceptable — an n-gram accelerator is the upgrade path."""
-        if not patterns:
-            return {}
-        d = self.dictionary()
-        conds = None
-        tagged = []
-        for fld, pat in sorted(patterns):
-            rx = self._wildcard_to_java_regex(pat)
-            c = (F.col("field") == fld) & F.col("term").rlike(rx)
-            tagged.append(F.when(c, F.lit(f"{fld}\x00{pat}")))
-            conds = c if conds is None else (conds | c)
-        # one row per (term, pattern) MATCH: patterns may overlap (the live
-        # fixture has ship*/shipwreck*, c*/coal*/...), so a term matching
-        # several patterns must expand under EVERY one of them — a
-        # first-match coalesce silently dropped it from later patterns
-        rows = (
-            d.where(conds)
-            .select(
-                F.col("term"),
-                F.explode(F.array_compact(F.array(*tagged))).alias("pat"),
-            )
-            .collect()
+        One row per (term, construct) MATCH: patterns may overlap (the live
+        fixture has ship*/shipwreck*, c*/coal*/...), so a term matching
+        several constructs expands under EVERY one — a first-match coalesce
+        silently dropped it from later patterns.
+
+        Scale notes: a leading-wildcard scan is a full dictionary sweep; the
+        dictionary is ~|vocab| rows (tiny vs postings, persisted per reader)
+        so a scan per query batch is acceptable — an n-gram accelerator is
+        the upgrade path.  Fuzzy distances run JVM-side (``F.levenshtein``
+        with the early-exit threshold); expansions are capped at
+        ``_MAX_FUZZY_EXPANSIONS`` ordered (distance asc, term asc) with
+        boost ``1 - d / min(len(query_term), len(term))`` (FuzzyTermsEnum's
+        boost; plain Levenshtein — transpositions=false — pinned in
+        :class:`~...queryparser.FuzzyNode`).
+
+        Returns ``(df_map, bucket_map, tid_map, pat_map, range_map,
+        fuzzy_map)``; the first three cover every matched row (exact AND
+        expansion hits — expanded terms need global df for scoring too)."""
+        empty: tuple = ({}, {}, {}, {}, {}, {})
+        if not (exact or patterns or ranges or fuzzies):
+            return empty
+        from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
+            term_id_of,
         )
-        out: dict[tuple[str, str], list[str]] = {p: [] for p in patterns}
-        for r in rows:
-            fld, pat = r["pat"].split("\x00", 1)
-            out[(fld, pat)].append(r["term"])
-        return {k: tuple(sorted(v)) for k, v in out.items()}
 
-    def expand_fuzzy(
-        self, fuzzies: set[qp.FuzzyNode]
-    ) -> dict[qp.FuzzyNode, tuple[tuple[str, float], ...]]:
-        """One dictionary pass expanding every fuzzy construct to its
-        in-distance terms with scoring boosts.
-
-        The distance predicate runs JVM-side (``F.levenshtein`` with the
-        early-exit threshold argument); expansions are capped at
-        ``_MAX_FUZZY_EXPANSIONS`` ordered (distance asc, term asc) and each
-        term's boost is ``1 - d / min(len(query_term), len(term))``
-        (FuzzyTermsEnum's boost; plain Levenshtein — transpositions=false —
-        pinned in :class:`~...queryparser.FuzzyNode`)."""
-        if not fuzzies:
-            return {}
-        d = self.dictionary()
+        out_cols = [
+            "field", "term", "df", "bucket", "term_id",
+            F.col("m.k").alias("k"), F.col("m.d").alias("d"),
+        ]
+        parts = []
+        if exact:
+            # exact terms fetch by NUMERIC key: term_id is a driver-side
+            # hash of (field, term), so a broadcast hash join on a long
+            # column replaces a giant IN-list literal (which Catalyst
+            # evaluates as an O(|list|) per-row scan — ~6x slower here)
+            tids = sorted({term_id_of(f, t) for f, t in exact})
+            tdf = self.spark.createDataFrame(
+                [(t,) for t in tids], "term_id long"
+            )
+            parts.append(
+                self.dictionary()
+                .join(F.broadcast(tdf), "term_id")
+                .select(
+                    "field", "term", "df", "bucket", "term_id",
+                    F.struct(
+                        F.lit("e").alias("k"), F.lit(-1).alias("d")
+                    ).alias("m"),
+                )
+                .select(*out_cols)
+            )
         conds = None
-        tagged = []
-        for node in sorted(fuzzies, key=lambda n: (n.field, n.term, n.max_edits)):
-            lev = F.levenshtein(F.col("term"), F.lit(node.term), node.max_edits)
-            c = (F.col("field") == node.field) & (lev >= 0)
-            tag = f"{node.field}\x00{node.term}\x00{node.max_edits}"
+        tagged = []  # F.when(cond, struct(tag string, aux int))
+
+        def tag(c, label: str, aux=F.lit(-1)):
+            nonlocal conds
             tagged.append(
-                F.when(c, F.struct(F.lit(tag).alias("k"), lev.alias("d")))
+                F.when(c, F.struct(F.lit(label).alias("k"), aux.alias("d")))
             )
             conds = c if conds is None else (conds | c)
-        rows = (
-            d.where(conds)
-            .select(
-                F.col("term"),
-                F.explode(F.array_compact(F.array(*tagged))).alias("m"),
-            )
-            .select("term", F.col("m.k").alias("k"), F.col("m.d").alias("d"))
-            .collect()
-        )
-        by_key: dict[tuple[str, str, int], list[tuple[int, str]]] = {}
-        for r in rows:
-            fld, term, edits = r["k"].split("\x00")
-            by_key.setdefault((fld, term, int(edits)), []).append(
-                (int(r["d"]), r["term"])
-            )
-        out: dict[qp.FuzzyNode, tuple[tuple[str, float], ...]] = {}
-        for node in fuzzies:
-            matches = sorted(by_key.get((node.field, node.term, node.max_edits), []))
-            matches = matches[:_MAX_FUZZY_EXPANSIONS]
-            out[node] = tuple(
-                (t, 1.0 - d / min(len(node.term), len(t)) if d else 1.0)
-                for d, t in matches
-            )
-        return out
 
-    def expand_term_ranges(
-        self, ranges: set[qp.TermRangeNode]
-    ) -> dict[qp.TermRangeNode, tuple[str, ...]]:
-        if not ranges:
-            return {}
-        d = self.dictionary()
-        out = {}
-        for node in ranges:
+        for fld, pat in sorted(patterns):
+            # regex only where string ops can't answer: a Java regex match
+            # costs ~100x a startswith, and patterns x |vocab| row evals
+            # dominate compile time.  ``abc*`` -> startswith; any literal
+            # prefix short-circuits the regex for the non-matching bulk.
+            head = re.match(r"[^*?]*", pat).group(0)
+            c = F.col("field") == fld
+            if head == pat:  # no wildcard chars: exact equality
+                c = c & (F.col("term") == pat)
+            elif pat == head + "*":
+                c = c & F.col("term").startswith(head)
+            else:
+                if head:
+                    c = c & F.col("term").startswith(head)
+                c = c & F.col("term").rlike(self._wildcard_to_java_regex(pat))
+            tag(c, f"w\x00{fld}\x00{pat}")
+        range_keys = {}
+        for i, node in enumerate(sorted(ranges, key=repr)):
+            range_keys[f"r\x00{i}"] = node
             c = F.col("field") == node.field
             if node.lo is not None:
                 c = c & (F.col("term") >= node.lo if node.inc_lo else F.col("term") > node.lo)
             if node.hi is not None:
                 c = c & (F.col("term") <= node.hi if node.inc_hi else F.col("term") < node.hi)
-            out[node] = tuple(sorted(r["term"] for r in d.where(c).select("term").collect()))
-        return out
+            tag(c, f"r\x00{i}")
+        fuzzy_keys = {}
+        for i, node in enumerate(
+            sorted(fuzzies, key=lambda n: (n.field, n.term, n.max_edits))
+        ):
+            fuzzy_keys[f"f\x00{i}"] = node
+            lev = F.levenshtein(F.col("term"), F.lit(node.term), node.max_edits)
+            tag((F.col("field") == node.field) & (lev >= 0), f"f\x00{i}", lev)
+        if conds is not None:
+            parts.append(
+                self.dictionary()
+                .where(conds)
+                .select(
+                    "field", "term", "df", "bucket", "term_id",
+                    F.explode(F.array_compact(F.array(*tagged))).alias("m"),
+                )
+                .select(*out_cols)
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        rows = df.collect()
+        df_map: dict[tuple[str, str], int] = {}
+        bucket_map: dict[tuple[str, str], int] = {}
+        tid_map: dict[tuple[str, str], int] = {}
+        pat_hits: dict[tuple[str, str], list[str]] = {p: [] for p in patterns}
+        range_hits: dict[qp.TermRangeNode, list[str]] = {n: [] for n in ranges}
+        fuzzy_hits: dict[qp.FuzzyNode, list[tuple[int, str]]] = {
+            n: [] for n in fuzzies
+        }
+        for r in rows:
+            ft = (r["field"], r["term"])
+            df_map[ft] = int(r["df"])
+            bucket_map[ft] = int(r["bucket"])
+            tid_map[ft] = int(r["term_id"])
+            k = r["k"]
+            if k[0] == "w":
+                _, fld, pat = k.split("\x00", 2)
+                pat_hits[(fld, pat)].append(r["term"])
+            elif k[0] == "r":
+                range_hits[range_keys[k]].append(r["term"])
+            elif k[0] == "f":
+                fuzzy_hits[fuzzy_keys[k]].append((int(r["d"]), r["term"]))
+        pat_map = {k: tuple(sorted(v)) for k, v in pat_hits.items()}
+        range_map = {k: tuple(sorted(v)) for k, v in range_hits.items()}
+        fuzzy_map: dict[qp.FuzzyNode, tuple[tuple[str, float], ...]] = {}
+        for node, matches in fuzzy_hits.items():
+            matches = sorted(matches)[:_MAX_FUZZY_EXPANSIONS]
+            fuzzy_map[node] = tuple(
+                (t, 1.0 - d / min(len(node.term), len(t)) if d else 1.0)
+                for d, t in matches
+            )
+        return df_map, bucket_map, tid_map, pat_map, range_map, fuzzy_map
 
 
 def re_escape_java(ch: str) -> str:
@@ -336,16 +399,21 @@ def compile_queries(
         return cached
     parsed = {cid: qp.parse_query(q, config) for cid, q in categories}
 
+    # every dictionary-dependent need of the whole batch, resolved in ONE
+    # Spark job: exact terms (df/bucket/term_id), wildcard / range / fuzzy
+    # expansions.  Expanded terms' global df rides the same collected rows.
+    exact: set[tuple[str, str]] = set()
     patterns: set[tuple[str, str]] = set()
     ranges: set[qp.TermRangeNode] = set()
     fuzzies: set[qp.FuzzyNode] = set()
     for node in parsed.values():
+        exact |= qp.collect_terms(node)
         patterns |= qp.collect_patterns(node)
         ranges |= qp.collect_term_ranges(node)
         fuzzies |= qp.collect_fuzzy(node)
-    pat_map = reader.expand_wildcards(patterns)
-    range_map = reader.expand_term_ranges(ranges)
-    fuzzy_map = reader.expand_fuzzy(fuzzies)
+    df_map, bucket_map, tid_map, pat_map, range_map, fuzzy_map = (
+        reader.lookup_dictionary(exact, patterns, ranges, fuzzies)
+    )
 
     #: key -> original metadata clause; doc sets are NOT resolved here —
     #: they materialize distributed at evaluation time (build_virtual_blocks)
@@ -382,25 +450,6 @@ def compile_queries(
 
     compiled = {cid: rewrite(n) for cid, n in parsed.items()}
 
-    # one dictionary pass for global df of every term any query touches
-    all_terms: set[tuple[str, str]] = set()
-    for node in compiled.values():
-        all_terms |= needed_terms(node)
-    real_terms = {(f, t) for f, t in all_terms if f != VIRTUAL_FIELD}
-    df_map: dict[tuple[str, str], int] = {}
-    bucket_map: dict[tuple[str, str], int] = {}
-    tid_map: dict[tuple[str, str], int] = {}
-    if real_terms:
-        tdf = reader.spark.createDataFrame(sorted(real_terms), ["field", "term"])
-        rows = (
-            reader.dictionary()
-            .join(F.broadcast(tdf), ["field", "term"], "inner")
-            .select("field", "term", "df", "bucket", "term_id")
-            .collect()
-        )
-        df_map = {(r["field"], r["term"]): int(r["df"]) for r in rows}
-        bucket_map = {(r["field"], r["term"]): int(r["bucket"]) for r in rows}
-        tid_map = {(r["field"], r["term"]): int(r["term_id"]) for r in rows}
     from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import term_id_of
 
     for key in virtual:

@@ -545,43 +545,46 @@ def _build_postings_single_job(
             "bucket", F.pmod(F.col("term_id"), F.lit(config.n_term_buckets))
         )
     )
+    # per-bucket lineage metrics ride the write itself as conditional-sum
+    # observations — no read-back jobs on the build critical path (two
+    # extra Spark jobs were ~10% of the whole postings stage at 16 cores);
+    # is_complete()/committed_buckets() see the same manifest shape as the
+    # resumable loop
+    nb = config.n_term_buckets
     obs = Observation("postings")
     blocks = blocks.observe(
-        obs, F.count(F.lit(1)).alias("blocks"), F.sum("n").alias("postings")
+        obs,
+        *[
+            F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"b{b}")
+            for b in range(nb)
+        ],
+        *[
+            F.sum(F.when(F.col("bucket") == b, F.col("n")).otherwise(0)).alias(
+                f"p{b}"
+            )
+            for b in range(nb)
+        ],
     )
     cat.write(blocks, IndexCatalog.POSTINGS, partition_by=["bucket"])
     m = obs.get
-    # per-bucket lineage rows (metrics scan reads 2 pruned columns of the
-    # small blocks table) so is_complete()/committed_buckets() see the
-    # same manifest shape as the resumable loop
-    per_bucket = {
-        int(r["bucket"]): (int(r["blocks"]), int(r["postings"]))
-        for r in spark.read.parquet(cat.path(IndexCatalog.POSTINGS))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("blocks"), F.sum("n").alias("postings"))
-        .collect()
-    }
-    terms_per_bucket = {
-        int(r["bucket"]): int(r["n"])
-        for r in cat.read(spark, IndexCatalog.DICTIONARY)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    for bucket in range(config.n_term_buckets):
-        nblocks, nposts = per_bucket.get(bucket, (0, 0))
+    terms_per_bucket = (
+        cat.manifest()["stages"]
+        .get("dictionary", {})
+        .get("metrics", {})
+        .get("terms_per_bucket", {})
+    )
+    for bucket in range(nb):
         cat.commit_bucket(
             bucket,
             {
-                "blocks": nblocks,
-                "postings": nposts,
-                "terms": terms_per_bucket.get(bucket, 0),
+                "blocks": int(m[f"b{bucket}"] or 0),
+                "postings": int(m[f"p{bucket}"] or 0),
+                "terms": int(terms_per_bucket.get(str(bucket), 0)),
                 "bytes": cat.table_bytes(
                     f"{IndexCatalog.POSTINGS}/bucket={bucket}"
                 ),
             },
         )
-    assert int(m["blocks"]) == sum(b for b, _ in per_bucket.values())
 
 
 def build_index(
@@ -802,24 +805,43 @@ def build_index(
         # postings (wrong df/idf, cross-matched docs).  Declarative aggs
         # keep the stage in whole-stage codegen.
         coll_obs = Observation("tid_collisions")
+        # per-bucket term counts ride the same observation (conditional
+        # sums) — the postings stage's lineage metrics read them from the
+        # manifest instead of a separate dictionary groupBy job
         dictionary = dictionary.observe(
             coll_obs,
             F.sum(
                 F.when(F.col("term_lo") != F.col("term"), 1).otherwise(0)
             ).alias("n"),
+            *[
+                F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(
+                    f"t{b}"
+                )
+                for b in range(config.n_term_buckets)
+            ],
         )
         cat.write(
             dictionary.drop("term_lo"), IndexCatalog.DICTIONARY,
             partition_by=["bucket"],
         )
-        n_coll = int(coll_obs.get["n"] or 0)
+        m = coll_obs.get
+        n_coll = int(m["n"] or 0)
         if n_coll:
             raise RuntimeError(
                 f"{n_coll} term_id collision(s) detected in the dictionary — "
                 "two distinct terms hash to one 64-bit id; rebuild with a "
                 "128-bit term id (see term_id_of)"
             )
-        cat.commit_stage("dictionary", {"term_id_collisions": 0})
+        cat.commit_stage(
+            "dictionary",
+            {
+                "term_id_collisions": 0,
+                "terms_per_bucket": {
+                    str(b): int(m[f"t{b}"] or 0)
+                    for b in range(config.n_term_buckets)
+                },
+            },
+        )
 
     # -- stage 5: per-bucket postings build (resumable loop) ----------------
     # one Spark job per bucket; metrics come from Observation (no read-back)

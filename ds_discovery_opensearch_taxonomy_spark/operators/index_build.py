@@ -672,7 +672,14 @@ def build_index(
                 for i, fn in enumerate(field_names)
             ],
         )
-        cat.write(staged, IndexCatalog.STAGING, partition_by=["bucket"])
+        # UNPARTITIONED write with ``bucket`` as an ordinary column: every
+        # hot-path consumer (dictionary agg, docmap agg, single-job postings
+        # build) full-scans staging, so hive-partitioning by bucket bought
+        # nothing there while costing a sort-based dynamic-partition write
+        # (measured 45.6 s vs 6.2 s plain at 25k docs — the sorter has to
+        # buffer/spill every pos_bytes payload).  The rare ``bucket_resume``
+        # path filters on the bucket COLUMN instead (row-group stats).
+        cat.write(staged, IndexCatalog.STAGING)
         sum_dl = {fn: int(stg_obs.get[fn] or 0) for fn in field_names}
         cat.commit_stage(
             "staging",

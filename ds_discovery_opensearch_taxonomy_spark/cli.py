@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -41,6 +42,20 @@ def make_spark(
     )
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # file scans must not cap map parallelism below the cluster: default
+    # 128 MB bin-packing folded the ~64-file staging table into ~16 input
+    # splits, capping the dictionary agg and the postings job's map side at
+    # 16 tasks REGARDLESS of cores (dictionary stage measured flat ~50 s at
+    # 4 and 16 cores).  Suggest >= 2 splits per core; AQE still coalesces
+    # small downstream stages, and at real scale files outnumber cores so
+    # the hint is inert.
+    n = os.cpu_count() or 8
+    if cpus != "*":
+        try:
+            n = int(cpus)
+        except ValueError:
+            pass
+    b = b.config("spark.sql.files.minPartitionNum", str(2 * n))
     s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     return s

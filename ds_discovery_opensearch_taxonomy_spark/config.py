@@ -21,7 +21,7 @@ TEXT_NO_CAS_NO_PUNC = "textnocasnopunc"
 BM25_K1 = 1.2
 BM25_B = 0.75
 
-#: posting-list block size (docs per block); per-block (max_docid, max_score_ub)
+#: posting-list block size (docs per block); per-block (max_docid, max_norm)
 #: metadata drives block-max pruning at query time.
 BLOCK_SIZE = 128
 
@@ -122,11 +122,11 @@ class EngineConfig:
     #: executor failures either way).
     bucket_resume: bool = False
 
-    #: broadcast the per-bucket dictionary into the postings-build join
-    #: (removes a shuffle + an AQE round-trip per bucket job).  Keep True
-    #: while a bucket's dictionary fits an executor (~10^6-10^7 terms);
-    #: set False at full vocabulary scale to fall back to a shuffled join.
-    broadcast_dictionary: bool = True
+    #: (retired round 2) the postings build no longer joins the dictionary
+    #: at all: blocks store the df-independent ``max_norm`` (idf folds in
+    #: at query time from the dictionary's df) and salting joins only the
+    #: bounded heavy-term map (≤ total_postings/salt_target rows), which
+    #: broadcasts at any corpus scale.
 
     def field_spec(self, name: str) -> FieldSpec | None:
         for f in self.fields:

@@ -6,14 +6,17 @@ Spark re-plan of the reference's per-batch RAMDirectory indexing
 
   corpus ──narrow per-partition count──▶ dense ord layout (manifest) ──▶
   docs table (ord + metadata) + per-band DOCMAP (packed ord→doc_id) ──▶
-  mapInArrow tokenize (Arrow, memoized analyzers) ──▶ staging
-  (term_id, term?, ford, ord, tf, dl, pos_bytes) partitioned by term-hash
-  bucket ──▶ df/cf dictionary (one codegen'd agg) ──▶ one-job mapInArrow
-  block build: salt-split sorted posting blocks (ord-gap varbyte +
-  per-block max-score metadata) ──manifest commit──▶ global postings.
+  mapInArrow tokenize+PACK (Arrow, memoized analyzers) ──▶ staging: one
+  ord-sorted posting RUN per (term, split) + per-(split, field) dl
+  sidecars — a per-partition local index ──▶ df/cf dictionary (one
+  codegen'd agg over runs) ──▶ one-job postings: heavy-term salt split ▶
+  (term_id, salt) shuffle of packed runs ▶ per-partition merge-by-
+  concatenation + block encode (ord-gap varbyte + per-block max_norm)
+  ──manifest commit──▶ global postings.
 
 Scale levers (north rule):
-* ONE wide shuffle total (the staged write, keyed by term bucket);
+* ONE wide shuffle total (the postings merge, keyed by (term_id, salt)),
+  and it moves packed RUNS, not per-posting rows;
 * posting lists key on DENSE ords, so gaps varbyte to 1-2 bytes (vs 8-9
   for hashed 64-bit ids) — the external doc_id is recovered per eval band
   from DOCMAP (Lucene segment-docID + stored-field key, distributed);
@@ -41,33 +44,45 @@ from ds_discovery_opensearch_taxonomy_spark.functions import analysis, codec, sc
 from ds_discovery_opensearch_taxonomy_spark.sources.catalog import IndexCatalog
 from ds_discovery_opensearch_taxonomy_spark.sources.corpus import with_doc_ids
 
-#: Staged postings are NUMERIC per row — measured on this box the per-token
-#: string objects (field/term per posting) made the whole stage memory-
-#: bandwidth-bound: 8 and 32 cores ran it in the same wall time.  The term
-#: STRING is emitted only on its first occurrence per chunk (mostly-null
-#: column, RLE'd to ~vocabulary size); ``term_id`` is a memoized 64-bit
-#: blake2b of (field, term) computed in the tokenizer, and ``ford`` is the
-#: field's ordinal in config.fields.  The dictionary stage recovers the
-#: strings with max() aggs (declarative -> whole-stage codegen).
+#: PACKED staging (round 2): one row per (term, input split) carrying the
+#: split's whole ord-sorted posting RUN as raw little-endian streams — a
+#: per-partition local index in the classic build-local-then-merge design.
+#: Ords are dense per-split-contiguous ordinals, so runs of one term from
+#: different splits cover DISJOINT ord ranges and global posting lists are
+#: recovered by ordering runs by min_ord and concatenating (no k-way
+#: merge).  Packing exists because Spark's exchange and the JVM->Arrow
+#: bridge pay per-CELL: shuffling one row per POSTING (7 scalar cells)
+#: measured 500+ s of executor time for 73M postings at 16 cores, 3x the
+#: 4-core cost — memory-bandwidth contention on row re-encode.  Packed
+#: rows move the same bytes as ~|vocab per split| rows with binary blobs.
+#:
+#: kind 0 = posting run; kind 1 = per-doc field-length sidecar (one row
+#: per (split, field): ord_bytes = split doc ords, dl_bytes = per-doc dl)
+#: consumed by the DOCMAP stage.
 TOKENS_SCHEMA = T.StructType(
     [
+        T.StructField("kind", T.ByteType(), False),
         T.StructField("term_id", T.LongType(), False),
+        # term string exactly once per (split, term) — the dictionary agg
+        # recovers it with max() and detects 64-bit collisions via min!=max
         T.StructField("term", T.StringType(), True),
         T.StructField("ford", T.IntegerType(), False),
-        # dense doc ORDINAL in [0, n_docs) — NOT the 64-bit external doc_id.
-        # Posting lists gap-encode ords: dense keys make gaps ~n_docs/df
-        # (1-2 varbyte bytes) instead of ~2^64/df for hashed ids (8-9 bytes)
-        # — the docids stream was ~60% of index bytes before this.  The
-        # external doc_id is recovered per eval band via the DOCMAP table
-        # (Lucene's segment-local docID + stored-field key, distributed).
-        T.StructField("ord", T.LongType(), False),
-        T.StructField("tf", T.IntegerType(), False),
-        T.StructField("dl", T.IntegerType(), False),
-        # per-posting positions, ALREADY delta+varbyte encoded (first value
-        # absolute, so byte-runs concatenate across rows/blocks).  Binary
-        # beats list<int32> ~2.5x on the partitioned staging write (parquet
-        # repetition levels + dynamic-partition sort dominate otherwise).
-        T.StructField("pos_bytes", T.BinaryType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("cf", T.LongType(), False),
+        # dense doc ORDINAL of the run's first posting, in [0, n_docs) —
+        # NOT the 64-bit external doc_id.  Posting lists gap-encode ords:
+        # dense keys make gaps ~n_docs/df (1-2 varbyte bytes) instead of
+        # ~2^64/df for hashed ids.  The external doc_id is recovered per
+        # eval band via the DOCMAP table.
+        T.StructField("min_ord", T.LongType(), False),
+        T.StructField("ord_bytes", T.BinaryType(), False),  # <i8 x n
+        T.StructField("tf_bytes", T.BinaryType(), False),  # <i4 x n
+        T.StructField("dl_bytes", T.BinaryType(), False),  # <i4 x n
+        # per-posting position-stream byte lengths (<i4 x n) + the run's
+        # concatenated delta+varbyte position streams (each posting's chain
+        # restarts absolute, so runs concatenate byte-wise)
+        T.StructField("pos_lens", T.BinaryType(), False),
+        T.StructField("pos_data", T.BinaryType(), False),
     ]
 )
 
@@ -77,9 +92,9 @@ from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (  # noqa
     term_id_of,
 )
 
-#: bump when the on-disk table layout changes incompatibly (3 = dense-ord
-#: postings + DOCMAP with dl sidecars); build_index refuses to resume across versions
-INDEX_FORMAT_VERSION = 3
+#: bump when the on-disk table layout changes incompatibly (4 = packed
+#: staging runs + df-free blocks); build_index refuses to resume across versions
+INDEX_FORMAT_VERSION = 4
 
 #: posting blocks are keyed by the numeric ``term_id`` (see term_id_of) — the
 #: heavy build/query paths stay ALL-NUMERIC (term strings live only in the
@@ -100,9 +115,13 @@ BLOCKS_SCHEMA = T.StructType(
         # names keep the Lucene skip-entry vocabulary
         T.StructField("min_docid", T.LongType(), False),
         T.StructField("max_docid", T.LongType(), False),
-        T.StructField("df", T.LongType(), False),
-        T.StructField("idf", T.DoubleType(), False),
-        T.StructField("max_score_ub", T.DoubleType(), False),
+        # max tf_norm over the block — the DF-INDEPENDENT part of the BM25
+        # block upper bound.  The evaluator multiplies by idf(df) from the
+        # dictionary at query time (block-max ub = idf * max_norm), so the
+        # postings build never needs per-term df: the full-dictionary join
+        # that fed df to every posting row is gone (one wide shuffle saved;
+        # only the tiny heavy-term salt map is broadcast).
+        T.StructField("max_norm", T.DoubleType(), False),
         T.StructField("docids", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         # NO per-posting dls stream: document lengths live in the per-band
@@ -171,46 +190,152 @@ def attach_ords(df: DataFrame, offsets: list[int]) -> DataFrame:
     return df.mapInArrow(run, out_schema)
 
 
+def _tokens_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("kind", pa.int8()),
+            ("term_id", pa.int64()),
+            ("term", pa.string()),
+            ("ford", pa.int32()),
+            ("n", pa.int32()),
+            ("cf", pa.int64()),
+            ("min_ord", pa.int64()),
+            ("ord_bytes", pa.binary()),
+            ("tf_bytes", pa.binary()),
+            ("dl_bytes", pa.binary()),
+            ("pos_lens", pa.binary()),
+            ("pos_data", pa.binary()),
+        ]
+    )
+
+
+def _pack_field_runs(ford: int, a: dict, cache) -> "object":
+    """One field's accumulated chunk postings -> ONE packed RecordBatch
+    (one row per term: the split's ord-sorted posting run).  Entirely
+    vectorized: lexsort by (term_id, ord), one ragged byte-gather for the
+    position streams, and every binary column is (offsets, stream) buffers
+    over the sorted streams — zero per-posting Python."""
+    import pyarrow as pa
+
+    from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
+        _ragged_gather,
+    )
+
+    tid = np.concatenate(a["tid"])
+    ordc = np.concatenate(a["ord"]).astype(np.int64)
+    tf = np.concatenate(a["tf"]).astype(np.int32)
+    dl = np.concatenate(a["dl"]).astype(np.int32)
+    # per-posting byte (start, len) into the concatenated position stream
+    pos_stream = np.frombuffer(b"".join(a["pos_data"]), dtype=np.uint8)
+    starts_parts, off = [], 0
+    for b in a["pos_bounds"]:
+        starts_parts.append(b[:-1] + off)
+        off += int(b[-1])
+    pos_starts = np.concatenate(starts_parts).astype(np.int64)
+    pos_lens = np.concatenate(
+        [np.diff(b) for b in a["pos_bounds"]]
+    ).astype(np.int64)
+
+    order = np.lexsort((ordc, tid))
+    tid_s = tid[order]
+    ord_s = ordc[order]
+    tf_s = tf[order]
+    dl_s = dl[order]
+    lens_s = pos_lens[order]
+    pos_s = pos_stream[_ragged_gather(pos_starts[order], lens_s)]
+
+    n = len(tid_s)
+    gb = np.empty(n, dtype=bool)
+    gb[0] = True
+    gb[1:] = tid_s[1:] != tid_s[:-1]
+    rs = np.flatnonzero(gb)
+    bounds = np.append(rs, n)
+    ns = np.diff(bounds).astype(np.int32)
+    cfs = np.add.reduceat(tf_s.astype(np.int64), rs)
+    run_tids = tid_s[rs]
+    tid_term = cache.tid_term
+    terms = [tid_term[int(t)] for t in run_tids]
+    k = len(rs)
+    pos_cum = np.concatenate([[0], np.cumsum(lens_s)]).astype(np.int64)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(np.zeros(k, dtype=np.int8), pa.int8()),
+            pa.array(run_tids, pa.int64()),
+            pa.array(terms, pa.string()),
+            pa.array(np.full(k, ford, dtype=np.int32), pa.int32()),
+            pa.array(ns, pa.int32()),
+            pa.array(cfs, pa.int64()),
+            pa.array(ord_s[rs], pa.int64()),
+            _binary_from_stream(ord_s.astype("<i8").tobytes(), bounds * 8),
+            _binary_from_stream(tf_s.astype("<i4").tobytes(), bounds * 4),
+            _binary_from_stream(dl_s.astype("<i4").tobytes(), bounds * 4),
+            _binary_from_stream(lens_s.astype("<i4").tobytes(), bounds * 4),
+            _binary_from_stream(pos_s.tobytes(), pos_cum[bounds]),
+        ],
+        schema=_tokens_arrow_schema(),
+    )
+
+
+def _pack_sentinel(ford: int, s: dict) -> "object":
+    """Per-(split, field) doc-length sidecar row (kind=1): packed split doc
+    ords + per-doc field lengths, consumed by the DOCMAP stage."""
+    import pyarrow as pa
+
+    ords = np.concatenate(s["ord"]).astype(np.int64)
+    dls = np.concatenate(s["dl"]).astype(np.int64)
+    nb = len(ords)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([1], pa.int8()),
+            pa.array([-1], pa.int64()),
+            pa.array([None], pa.string()),
+            pa.array([ford], pa.int32()),
+            pa.array([nb], pa.int32()),
+            pa.array([int(dls.sum())], pa.int64()),
+            pa.array([int(ords[0]) if nb else 0], pa.int64()),
+            pa.array([ords.astype("<i8").tobytes()], pa.binary()),
+            pa.array([b""], pa.binary()),
+            pa.array([dls.astype("<i4").tobytes()], pa.binary()),
+            pa.array([b""], pa.binary()),
+            pa.array([b""], pa.binary()),
+        ],
+        schema=_tokens_arrow_schema(),
+    )
+
+
 def tokenize_corpus(
     corpus: DataFrame, config: EngineConfig, offsets: list[int]
 ) -> DataFrame:
-    """corpus -> TOKENS_SCHEMA rows (numeric postings; term strings shipped
-    once per chunk for the dictionary).  Postings are keyed by the dense
-    ``ord`` assigned from ``offsets`` (see partition_offsets) — the 64-bit
-    doc_id never enters the postings path.
+    """corpus -> PACKED TOKENS_SCHEMA rows: one posting RUN per (term,
+    input split) plus one doc-length sidecar row per (split, field) — the
+    per-partition local index of the build-local-then-merge design.
+    Postings are keyed by the dense ``ord`` assigned from ``offsets`` (see
+    partition_offsets) — the 64-bit doc_id never enters the postings path.
 
     Vectorized via mapInArrow + the unique-span tokenizer
     (functions/vtokenize.py): the analyzer chain runs once per *unique*
     span (process-lifetime cache), posting aggregation is NumPy
-    lexsort/reduce, and the output batch's binary column is built zero-copy
-    — no per-row or per-posting Python anywhere (input_hint mandate).
-    Output is already aggregated per (doc, term) — the map-side combine —
-    so the only wide shuffle downstream is the term-bucket staging write."""
+    lexsort/reduce, and packing is one lexsort + one ragged gather per
+    (split, field) with every binary column built zero-copy from
+    (offsets, stream) buffers — no per-row or per-posting Python anywhere
+    (input_hint mandate)."""
     from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
         ChunkTokenizer,
     )
 
     specs = [(f.name, f.analyzer, list(f.source_columns)) for f in config.fields]
     src_cols = sorted({c for f in config.fields for c in f.source_columns})
-    chunk = 2048  # docs per emitted batch — bounds per-worker memory
+    chunk = 2048  # docs per tokenizer call — bounds analyzer working set
 
     def run(batches):
-        import pyarrow as pa
         from pyspark import TaskContext
 
         tok = ChunkTokenizer(specs)
-        schema = pa.schema(
-            [
-                ("term_id", pa.int64()),
-                ("term", pa.string()),
-                ("ford", pa.int32()),
-                ("ord", pa.int64()),
-                ("tf", pa.int32()),
-                ("dl", pa.int32()),
-                ("pos_bytes", pa.binary()),
-            ]
-        )
         next_ord = offsets[TaskContext.get().partitionId()]
+        acc: dict[int, dict] = {}
+        sent: dict[int, dict] = {}
         for rb in batches:
             names = rb.schema.names
             for lo in range(0, rb.num_rows, chunk):
@@ -222,52 +347,30 @@ def tokenize_corpus(
                 columns = {
                     c: sub.column(names.index(c)).to_pylist() for c in src_cols
                 }
-                results = tok.tokenize(columns, doc_ids)
-                if not results:
-                    continue
-                term_col = tok.term_strings(results)
-                tid = np.concatenate([r["term_id"] for r in results])
-                ford = np.concatenate(
-                    [
-                        np.full(len(r["term_id"]), r["ford"], dtype=np.int32)
-                        for r in results
-                    ]
-                )
-                doc = np.concatenate([r["doc_id"] for r in results])
-                tf = np.concatenate([r["tf"] for r in results])
-                dl = np.concatenate([r["dl"] for r in results])
-                # per-field position streams tile into one chunk stream
-                pos_data = b"".join(r["pos_data"] for r in results)
-                shifts, off = [], 0
-                for r in results:
-                    shifts.append(r["pos_bounds"][:-1] + off)
-                    off += len(r["pos_data"])
-                bounds = np.append(np.concatenate(shifts), off)
-                if bounds[-1] >= 2**31:  # int32 Arrow offsets guard
-                    raise ValueError(
-                        "chunk position stream exceeds 2 GiB; lower chunk size"
+                for r in tok.tokenize(columns, doc_ids):
+                    a = acc.setdefault(
+                        r["ford"],
+                        {"tid": [], "ord": [], "tf": [], "dl": [],
+                         "pos_data": [], "pos_bounds": []},
                     )
-                pos_col = pa.Array.from_buffers(
-                    pa.binary(),
-                    len(bounds) - 1,
-                    [
-                        None,
-                        pa.py_buffer(bounds.astype(np.int32).tobytes()),
-                        pa.py_buffer(pos_data),
-                    ],
-                )
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(tid, pa.int64()),
-                        pa.array(term_col, pa.string()),
-                        pa.array(ford, pa.int32()),
-                        pa.array(doc, pa.int64()),
-                        pa.array(tf, pa.int32()),
-                        pa.array(dl, pa.int32()),
-                        pos_col,
-                    ],
-                    schema=schema,
-                )
+                    a["tid"].append(r["term_id"])
+                    a["ord"].append(r["doc_id"])
+                    a["tf"].append(r["tf"])
+                    a["dl"].append(r["dl"])
+                    a["pos_data"].append(r["pos_data"])
+                    a["pos_bounds"].append(r["pos_bounds"])
+                    # doc-length sidecar: rows are doc-major, so each doc's
+                    # first posting carries its (ord, dl) once
+                    d = r["doc_id"]
+                    first = np.empty(len(d), dtype=bool)
+                    first[0] = True
+                    first[1:] = d[1:] != d[:-1]
+                    sd = sent.setdefault(r["ford"], {"ord": [], "dl": []})
+                    sd["ord"].append(d[first])
+                    sd["dl"].append(r["dl"][first])
+        for ford in sorted(acc):
+            yield _pack_field_runs(ford, acc[ford], tok.caches[ford])
+            yield _pack_sentinel(ford, sent[ford])
 
     return corpus.select(*src_cols).mapInArrow(run, TOKENS_SCHEMA)
 
@@ -276,33 +379,6 @@ def _band_of(ords: np.ndarray, ord_shift: int) -> np.ndarray:
     """ord -> eval band (top bits of the dense ordinal: bands are
     contiguous, near-equal ord ranges)."""
     return (ords.astype(np.int64) >> np.int64(ord_shift)).astype(np.int64)
-
-
-def _extract_columns(rb) -> dict:
-    """pa.RecordBatch -> dict of numpy columns; pos_bytes stays ONE
-    contiguous byte stream + an int64 offsets array (zero per-row python
-    objects — sliced straight out of the Arrow binary buffers)."""
-    idx = {f: i for i, f in enumerate(rb.schema.names)}
-    out = {
-        name: rb.column(idx[name]).to_numpy(zero_copy_only=False)
-        for name in ("term_id", "ord", "tf", "dl", "df", "salt", "ford")
-    }
-    arr = rb.column(idx["pos_bytes"])
-    bufs = arr.buffers()
-    off = np.frombuffer(bufs[1], dtype=np.int32)[
-        arr.offset : arr.offset + len(arr) + 1
-    ].astype(np.int64)
-    data = memoryview(bufs[2])[int(off[0]) : int(off[-1])] if len(off) else b""
-    out["pos_off"] = off - (off[0] if len(off) else 0)
-    out["pos_data"] = bytes(data)
-    return out
-
-
-def _concat_columns(a: dict, b: dict) -> dict:
-    out = {k: np.concatenate([a[k], b[k]]) for k in a if k not in ("pos_off", "pos_data")}
-    out["pos_data"] = a["pos_data"] + b["pos_data"]
-    out["pos_off"] = np.concatenate([a["pos_off"][:-1], b["pos_off"] + len(a["pos_data"])])
-    return out
 
 
 def _slice_columns(c: dict, lo: int, hi: int) -> dict:
@@ -325,9 +401,7 @@ def _arrow_blocks_schema():
             ("n", pa.int32()),
             ("min_docid", pa.int64()),
             ("max_docid", pa.int64()),
-            ("df", pa.int64()),
-            ("idf", pa.float64()),
-            ("max_score_ub", pa.float64()),
+            ("max_norm", pa.float64()),
             ("docids", pa.binary()),
             ("tfs", pa.binary()),
             ("posdata", pa.binary()),
@@ -376,7 +450,6 @@ def _build_blocks_batch(
     doc_ids = c["ord"].astype(np.int64)  # dense ords (block id space)
     tfs = c["tf"].astype(np.int64)
     dls = c["dl"].astype(np.int64)
-    dfs = c["df"].astype(np.int64)
     ford = c["ford"].astype(np.int64)
     bands = _band_of(doc_ids, ord_shift)
 
@@ -419,9 +492,9 @@ def _build_blocks_batch(
     pos_data = c["pos_data"]
 
     av = avgdl[ford]
-    idfs = scoring.idf(dfs.astype(np.float64), n_docs)
-    scores = idfs * scoring.tf_norm(tfs.astype(float), dls.astype(float), av, k1, b)
-    ubs = np.maximum.reduceat(scores, starts)
+    # df-independent: the evaluator folds idf(df) in at query time
+    norms = scoring.tf_norm(tfs.astype(float), dls.astype(float), av, k1, b)
+    ubs = np.maximum.reduceat(norms, starts)
 
     de = np.concatenate([[0], doc_ends])
     te = np.concatenate([[0], tf_ends])
@@ -434,8 +507,6 @@ def _build_blocks_batch(
         pa.array((ends - starts).astype(np.int32), pa.int32()),
         pa.array(doc_ids[starts], pa.int64()),
         pa.array(doc_ids[ends - 1], pa.int64()),
-        pa.array(dfs[starts], pa.int64()),
-        pa.array(idfs[starts], pa.float64()),
         pa.array(ubs, pa.float64()),
         _binary_from_stream(doc_bytes, de[bounds]),
         _binary_from_stream(tf_bytes, te[bounds]),
@@ -444,102 +515,274 @@ def _build_blocks_batch(
     return pa.RecordBatch.from_arrays(arrays, schema=_arrow_blocks_schema())
 
 
-def make_block_builder(
+#: Spark schema of salted packed runs (postings-job shuffle rows)
+SALTED_SCHEMA = T.StructType(
+    [
+        T.StructField("term_id", T.LongType(), False),
+        T.StructField("ford", T.IntegerType(), False),
+        T.StructField("salt", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("min_ord", T.LongType(), False),
+        T.StructField("ord_bytes", T.BinaryType(), False),
+        T.StructField("tf_bytes", T.BinaryType(), False),
+        T.StructField("dl_bytes", T.BinaryType(), False),
+        T.StructField("pos_lens", T.BinaryType(), False),
+        T.StructField("pos_data", T.BinaryType(), False),
+    ]
+)
+
+
+def _heavy_salt_map(dict_df: DataFrame, config: EngineConfig) -> dict[int, int]:
+    """{term_id: salt_bits} for the SKEWED terms only — df above the salt
+    target.  Provably tiny: at most total_postings / salt_target entries
+    (73M postings / 20k target = <=3.6k terms), so it collects/broadcasts at
+    ANY corpus scale — unlike the full dictionary (|vocab| rows), which the
+    round-1 build joined against every staged posting row."""
+    max_bits = int(math.log2(config.max_salts))
+    rows = (
+        dict_df.where(F.col("df") > F.lit(config.salt_target_postings))
+        .select(
+            "term_id",
+            F.least(
+                F.ceil(
+                    F.log2(F.col("df") / F.lit(config.salt_target_postings))
+                ).cast("int"),
+                F.lit(max_bits),
+            ).alias("salt_bits"),
+        )
+        .collect()
+    )
+    return {int(r["term_id"]): int(r["salt_bits"]) for r in rows}
+
+
+def _salt_packed_runs(
+    staged: DataFrame, heavy: dict[int, int], ord_bits: int
+) -> DataFrame:
+    """Packed staging runs -> SALTED_SCHEMA rows: light terms (all but the
+    bounded heavy map) pass through columnar with salt=0; heavy terms'
+    runs are CUT at ord-top-bits salt boundaries (ords are sorted within a
+    run, so each cut is a searchsorted + stream slice).  Per-salt posting
+    runs stay contiguous ord ranges, bounded, and globally mergeable by
+    concatenation."""
+    heavy_tids = np.array(sorted(heavy), dtype=np.int64)
+    heavy_bits = np.array([heavy[t] for t in heavy_tids], dtype=np.int64)
+    ob = int(ord_bits)
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out_names = [f.name for f in SALTED_SCHEMA.fields]
+        for rb in batches:
+            idx = {f: i for i, f in enumerate(rb.schema.names)}
+            tid = rb.column(idx["term_id"]).to_numpy(zero_copy_only=False)
+            if len(heavy_tids):
+                pos = np.searchsorted(heavy_tids, tid).clip(
+                    max=len(heavy_tids) - 1
+                )
+                is_heavy = heavy_tids[pos] == tid
+            else:
+                is_heavy = np.zeros(len(tid), dtype=bool)
+            light_mask = pa.array(~is_heavy)
+            light = rb.filter(light_mask)
+            if light.num_rows:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        light.column(idx["term_id"]),
+                        light.column(idx["ford"]),
+                        pa.array(
+                            np.zeros(light.num_rows, dtype=np.int32),
+                            pa.int32(),
+                        ),
+                        light.column(idx["n"]),
+                        light.column(idx["min_ord"]),
+                        light.column(idx["ord_bytes"]),
+                        light.column(idx["tf_bytes"]),
+                        light.column(idx["dl_bytes"]),
+                        light.column(idx["pos_lens"]),
+                        light.column(idx["pos_data"]),
+                    ],
+                    names=out_names,
+                )
+            if not is_heavy.any():
+                continue
+            hv = rb.filter(pa.array(is_heavy))
+            bits = heavy_bits[pos[is_heavy]]
+            h_tid = hv.column(idx["term_id"]).to_pylist()
+            h_ford = hv.column(idx["ford"]).to_pylist()
+            h_ob = hv.column(idx["ord_bytes"]).to_pylist()
+            h_tb = hv.column(idx["tf_bytes"]).to_pylist()
+            h_db = hv.column(idx["dl_bytes"]).to_pylist()
+            h_pl = hv.column(idx["pos_lens"]).to_pylist()
+            h_pd = hv.column(idx["pos_data"]).to_pylist()
+            rows = {k: [] for k in out_names}
+            for i in range(hv.num_rows):
+                ords = np.frombuffer(h_ob[i], dtype="<i8")
+                shift = max(ob - int(bits[i]), 0)
+                salts = (ords >> shift).astype(np.int64)
+                cut = np.concatenate(
+                    [[0], np.flatnonzero(salts[1:] != salts[:-1]) + 1,
+                     [len(ords)]]
+                )
+                pl = np.frombuffer(h_pl[i], dtype="<i4").astype(np.int64)
+                pc_off = np.concatenate([[0], np.cumsum(pl)])
+                for j0, j1 in zip(cut[:-1], cut[1:]):
+                    j0, j1 = int(j0), int(j1)
+                    rows["term_id"].append(h_tid[i])
+                    rows["ford"].append(h_ford[i])
+                    rows["salt"].append(int(salts[j0]))
+                    rows["n"].append(j1 - j0)
+                    rows["min_ord"].append(int(ords[j0]))
+                    rows["ord_bytes"].append(h_ob[i][j0 * 8 : j1 * 8])
+                    rows["tf_bytes"].append(h_tb[i][j0 * 4 : j1 * 4])
+                    rows["dl_bytes"].append(h_db[i][j0 * 4 : j1 * 4])
+                    rows["pos_lens"].append(h_pl[i][j0 * 4 : j1 * 4])
+                    rows["pos_data"].append(
+                        h_pd[i][int(pc_off[j0]) : int(pc_off[j1])]
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rows["term_id"], pa.int64()),
+                    pa.array(rows["ford"], pa.int32()),
+                    pa.array(rows["salt"], pa.int32()),
+                    pa.array(rows["n"], pa.int32()),
+                    pa.array(rows["min_ord"], pa.int64()),
+                    pa.array(rows["ord_bytes"], pa.binary()),
+                    pa.array(rows["tf_bytes"], pa.binary()),
+                    pa.array(rows["dl_bytes"], pa.binary()),
+                    pa.array(rows["pos_lens"], pa.binary()),
+                    pa.array(rows["pos_data"], pa.binary()),
+                ],
+                names=out_names,
+            )
+
+    cols = [
+        "term_id", "ford", "n", "min_ord", "ord_bytes", "tf_bytes",
+        "dl_bytes", "pos_lens", "pos_data",
+    ]
+    return staged.select(*cols).mapInArrow(run, SALTED_SCHEMA)
+
+
+def _packed_stream(tbl, colname: str) -> bytes:
+    """Ordered concatenation of a (taken) table's binary column — the data
+    buffers ARE the concatenation after ``take`` rebuilds the arrays."""
+    parts = []
+    for arr in tbl[colname].chunks:
+        bufs = arr.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        parts.append(bytes(memoryview(bufs[2])[int(off[0]) : int(off[-1])]))
+    return b"".join(parts)
+
+
+def make_merge_builder(
     n_docs: float,
     avgdl: np.ndarray,
     k1: float,
     b: float,
     block_size: int,
     ord_shift: int,
+    slice_rows: int = 1 << 20,
 ):
-    """Returns a mapInArrow function that streams sorted (term_id, salt,
-    ord) rows and emits posting blocks.  ``avgdl`` is indexed by field
-    ordinal (the ``ford`` column).  Groups split across Arrow batches are
-    carried to the next batch, so each group is built whole; per-batch
-    work is pure numpy + Arrow buffer construction (no pandas hop, no
-    per-row or per-block python objects)."""
+    """Partition-at-a-time MERGE of packed runs into posting blocks.
+
+    The shuffle moves one row per (term, salt, split-segment) — binary
+    blobs, not per-posting cells: shuffling one row per posting measured
+    500+ s of executor time for 73M postings at 16 cores (3x the 4-core
+    cost — memory-bandwidth contention in the row/Arrow re-encode), which
+    capped build scaling at ~0.45 efficiency.  Because each split covers a
+    contiguous disjoint ord range, ordering a term's runs by min_ord and
+    concatenating their streams yields the globally ord-sorted posting
+    list — a k-way-merge-free variant of Lucene's segment merge.  Row
+    ordering is one numpy lexsort over ~|runs| elements; posting streams
+    are reassembled with frombuffer over the taken table's own buffers."""
 
     def run(batches):
-        carry: dict | None = None
-        for rb in batches:
-            if len(rb) == 0:
-                continue
-            cols = _extract_columns(rb)
-            if carry is not None:
-                cols = _concat_columns(carry, cols)
-                carry = None
-            tid = cols["term_id"]
-            slt = cols["salt"]
-            change = np.empty(len(tid), dtype=bool)
-            change[0] = True
-            change[1:] = (tid[1:] != tid[:-1]) | (slt[1:] != slt[:-1])
-            last_start = int(np.flatnonzero(change)[-1])
-            if last_start == 0:
-                carry = cols  # single (possibly continuing) group — hold it
-                continue
-            carry = _slice_columns(cols, last_start, len(tid))
-            done = _slice_columns(cols, 0, last_start)
-            yield _build_blocks_batch(done, n_docs, avgdl, k1, b, block_size, ord_shift)
-        if carry is not None and len(carry["term_id"]):
-            yield _build_blocks_batch(carry, n_docs, avgdl, k1, b, block_size, ord_shift)
+        import pyarrow as pa
+
+        batch_list = [b for b in batches if b.num_rows]
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        order = np.lexsort(
+            (
+                tbl["min_ord"].to_numpy(),
+                tbl["salt"].to_numpy(),
+                tbl["term_id"].to_numpy(),
+            )
+        )
+        tbl = tbl.take(pa.array(order))
+        ns = tbl["n"].to_numpy().astype(np.int64)
+        pos_lens = np.frombuffer(
+            _packed_stream(tbl, "pos_lens"), dtype="<i4"
+        ).astype(np.int64)
+        cols = {
+            "term_id": np.repeat(tbl["term_id"].to_numpy(), ns),
+            "salt": np.repeat(tbl["salt"].to_numpy(), ns),
+            "ford": np.repeat(tbl["ford"].to_numpy(), ns),
+            "ord": np.frombuffer(
+                _packed_stream(tbl, "ord_bytes"), dtype="<i8"
+            ),
+            "tf": np.frombuffer(_packed_stream(tbl, "tf_bytes"), dtype="<i4"),
+            "dl": np.frombuffer(_packed_stream(tbl, "dl_bytes"), dtype="<i4"),
+            "pos_off": np.concatenate([[0], np.cumsum(pos_lens)]).astype(
+                np.int64
+            ),
+            "pos_data": _packed_stream(tbl, "pos_data"),
+        }
+        del tbl
+        n = len(cols["ord"])
+        if n != int(ns.sum()) or len(cols["tf"]) != n:
+            raise AssertionError("packed run streams inconsistent with n")
+        tid = cols["term_id"]
+        slt = cols["salt"]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (tid[1:] != tid[:-1]) | (slt[1:] != slt[:-1])
+        group_starts = np.flatnonzero(change)
+        lo = 0
+        while lo < n:
+            hi_target = lo + slice_rows
+            if hi_target >= n:
+                hi = n
+            else:
+                # first group start at/after the target; a group larger
+                # than slice_rows is emitted whole (groups never split)
+                i = int(np.searchsorted(group_starts, hi_target))
+                hi = int(group_starts[i]) if i < len(group_starts) else n
+            yield _build_blocks_batch(
+                _slice_columns(cols, lo, hi),
+                n_docs, avgdl, k1, b, block_size, ord_shift,
+            )
+            lo = hi
 
     return run
-
-
-def _salt_postings(
-    staged: DataFrame, dict_df: DataFrame, config: EngineConfig, ord_bits: int
-) -> DataFrame:
-    """Join staged postings with per-term (df, ford) and compute the
-    ord-top-bits salt for heavy terms: per-salt posting runs are contiguous
-    ord ranges, bounded, and globally mergeable by concatenation."""
-    max_bits = int(math.log2(config.max_salts))
-    if config.broadcast_dictionary:
-        dict_df = F.broadcast(dict_df)
-    return (
-        staged.join(dict_df, ["term_id"])
-        .withColumn(
-            "salt_bits",
-            F.least(
-                F.greatest(
-                    F.ceil(
-                        F.log2(F.col("df") / F.lit(config.salt_target_postings))
-                    ).cast("int"),
-                    F.lit(0),
-                ),
-                F.lit(max_bits),
-            ),
-        )
-        .withColumn(
-            "salt",
-            F.expr(
-                "cast(case when salt_bits <= 0 then 0 else "
-                f"shiftright(ord, greatest({ord_bits} - salt_bits, 0)) "
-                "end as int)"
-            ),
-        )
-    )
 
 
 def _build_postings_single_job(
     spark: SparkSession, cat: IndexCatalog, config: EngineConfig, builder,
     ord_bits: int,
 ) -> None:
-    """All buckets in ONE Spark job: staging scan -> dictionary join ->
-    one wide (term_id, salt) shuffle -> sorted block build -> bucket-
-    partitioned write.  Full cluster parallelism throughout — no per-bucket
-    job tails (the round-1 loop's bucket stage scaled 1.6x/4 because each
-    of 8 jobs serialized its own shuffle+sort+write phases)."""
-    staged_all = spark.read.parquet(cat.path(IndexCatalog.STAGING)).select(
-        "term_id", "ord", "tf", "dl", "pos_bytes"
+    """All buckets in ONE Spark job: packed-run scan -> heavy-term salt
+    split -> one wide (term_id, salt) shuffle of packed RUNS -> per-
+    partition merge + block encode -> bucket-partitioned write.  Full
+    cluster parallelism throughout — no per-bucket job tails (the round-1
+    loop's bucket stage scaled 1.6x/4 because each of 8 jobs serialized
+    its own shuffle+sort+write phases)."""
+    staged_all = spark.read.parquet(cat.path(IndexCatalog.STAGING)).where(
+        F.col("kind") == 0
     )
-    dict_all = cat.read(spark, IndexCatalog.DICTIONARY).select(
-        "term_id", "df", "ford"
+    heavy = _heavy_salt_map(
+        cat.read(spark, IndexCatalog.DICTIONARY), config
     )
-    salted = _salt_postings(staged_all, dict_all, config, ord_bits)
+    salted = _salt_packed_runs(staged_all, heavy, ord_bits)
     n_parts = max(2 * spark.sparkContext.defaultParallelism, 16)
+    # NO sortWithinPartitions: the merge builder orders RUNS columnar
+    # inside the worker (numpy lexsort over ~|runs| keys) — see
+    # make_merge_builder's docstring for the measured per-posting-row cost
     blocks = (
         salted.repartition(n_parts, "term_id", "salt")
-        .sortWithinPartitions("term_id", "salt", "ord")
         .mapInArrow(builder, BLOCKS_SCHEMA)
         .withColumn(
             "bucket", F.pmod(F.col("term_id"), F.lit(config.n_term_buckets))
@@ -653,11 +896,10 @@ def build_index(
             )
         cat.commit_stage("docs", {"n_docs": n_docs})
 
-    # -- stage 2: staged tokens, partitioned by term-hash bucket ------------
-    # per-field sum(tf) rides the write as conditional-sum observations:
-    # sum(tf) over staged rows of a field == sum of per-doc field lengths
-    # (each doc-field's tfs sum to its token count), so avgdl needs no
-    # second pass over staging at all.
+    # -- stage 2: staged packed posting runs (per-split local indexes) ------
+    # per-field sum of run cf rides the write as conditional-sum
+    # observations: sum(cf) over a field's kind-0 rows == sum of per-doc
+    # field lengths, so avgdl needs no second pass over staging at all.
     field_names = [f.name for f in config.fields]
     if not cat.stage_done("staging"):
         tokens = tokenize_corpus(corpus_with_ids, config, offsets)
@@ -668,7 +910,12 @@ def build_index(
         staged = staged.observe(
             stg_obs,
             *[
-                F.sum(F.when(F.col("ford") == i, F.col("tf")).otherwise(0)).alias(fn)
+                F.sum(
+                    F.when(
+                        (F.col("ford") == i) & (F.col("kind") == 0),
+                        F.col("cf"),
+                    ).otherwise(F.lit(0))
+                ).alias(fn)
                 for i, fn in enumerate(field_names)
             ],
         )
@@ -694,8 +941,11 @@ def build_index(
         if sum_dl is None:  # resumed from an older staging commit
             staged = spark.read.parquet(cat.path(IndexCatalog.STAGING))
             sum_dl = {
-                r["field"]: int(r["s"])
-                for r in staged.groupBy("field").agg(F.sum("tf").alias("s")).collect()
+                field_names[int(r["ford"])]: int(r["s"])
+                for r in staged.where(F.col("kind") == 0)
+                .groupBy("ford")
+                .agg(F.sum("cf").alias("s"))
+                .collect()
             }
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -734,12 +984,45 @@ def build_index(
         ids_part = docs_df.select(
             F.lit(-1).alias("ford"), "ord", F.col("doc_id").alias("value")
         )
-        staged = spark.read.parquet(cat.path(IndexCatalog.STAGING))
-        # dl is constant over a (doc, field)'s staged rows; the groupBy
-        # map-side-combines down to ~n_fields rows per doc before shuffling
-        dls_part = staged.groupBy("ord", "ford").agg(
-            F.max("dl").cast("long").alias("value")
-        ).select("ford", "ord", "value")
+        # per-doc field lengths come from the kind-1 sidecar rows (one per
+        # (split, field)): a tiny unpack pass instead of a 73M-row groupBy
+        sent = (
+            spark.read.parquet(cat.path(IndexCatalog.STAGING))
+            .where(F.col("kind") == 1)
+            .select("ford", "ord_bytes", "dl_bytes")
+        )
+        unpack_schema = T.StructType(
+            [
+                T.StructField("ford", T.IntegerType(), False),
+                T.StructField("ord", T.LongType(), False),
+                T.StructField("value", T.LongType(), False),
+            ]
+        )
+
+        def unpack_sidecars(batches):
+            import pyarrow as pa
+
+            for rb in batches:
+                idx = {f: i for i, f in enumerate(rb.schema.names)}
+                fords = rb.column(idx["ford"]).to_pylist()
+                obs_col = rb.column(idx["ord_bytes"]).to_pylist()
+                dls_col = rb.column(idx["dl_bytes"]).to_pylist()
+                for fo, ob, db in zip(fords, obs_col, dls_col):
+                    ords = np.frombuffer(ob, dtype="<i8")
+                    vals = np.frombuffer(db, dtype="<i4").astype(np.int64)
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(
+                                np.full(len(ords), fo, dtype=np.int32),
+                                pa.int32(),
+                            ),
+                            pa.array(ords, pa.int64()),
+                            pa.array(vals, pa.int64()),
+                        ],
+                        names=["ford", "ord", "value"],
+                    )
+
+        dls_part = sent.mapInArrow(unpack_sidecars, unpack_schema)
         dm = ids_part.unionByName(dls_part).withColumn(
             "band", F.shiftright("ord", ord_shift).cast("int")
         )
@@ -781,16 +1064,20 @@ def build_index(
         cat.commit_stage("docmap")
 
     # -- stage 4: dictionary (df/cf), ONE job for every bucket --------------
-    # numeric groupBy; the term string (shipped once per tokenizer chunk,
-    # null elsewhere) is recovered with max() — a declarative agg, so the
-    # whole stage codegens (first() would force ObjectHashAggregate)
+    # numeric groupBy over PACKED runs (one row per (term, split) — the agg
+    # input is ~|vocab x splits| rows, not one per posting); the term
+    # string (exactly once per run) is recovered with max() — a declarative
+    # agg, so the whole stage codegens (first() would force
+    # ObjectHashAggregate)
     if not cat.stage_done("dictionary"):
-        staged = spark.read.parquet(cat.path(IndexCatalog.STAGING))
+        staged = spark.read.parquet(cat.path(IndexCatalog.STAGING)).where(
+            F.col("kind") == 0
+        )
         dictionary = (
             staged.groupBy("bucket", "term_id")
             .agg(
-                F.count("*").alias("df"),
-                F.sum("tf").alias("cf"),
+                F.sum("n").alias("df"),
+                F.sum("cf").alias("cf"),
                 F.max("term").alias("term"),
                 F.min("term").alias("term_lo"),
                 F.max("ford").alias("ford"),
@@ -853,12 +1140,13 @@ def build_index(
     # -- stage 5: per-bucket postings build (resumable loop) ----------------
     # one Spark job per bucket; metrics come from Observation (no read-back)
     avgdl_ord = np.array([avgdl.get(fn, 1.0) for fn in field_names], dtype=np.float64)
-    builder = make_block_builder(
-        float(n_docs), avgdl_ord, config.k1, config.b, config.block_size, ord_shift
-    )
     ord_bits = ord_bits_of(n_docs)
     done = cat.committed_buckets()
     todo = [b for b in range(config.n_term_buckets) if b not in done]
+    builder = make_merge_builder(
+        float(n_docs), avgdl_ord, config.k1, config.b,
+        config.block_size, ord_shift,
+    )
     if todo and not config.bucket_resume:
         _build_postings_single_job(spark, cat, config, builder, ord_bits)
         todo = []
@@ -866,7 +1154,9 @@ def build_index(
         import threading
         from concurrent.futures import ThreadPoolExecutor
 
-        staged_all = spark.read.parquet(cat.path(IndexCatalog.STAGING))
+        staged_all = spark.read.parquet(cat.path(IndexCatalog.STAGING)).where(
+            F.col("kind") == 0
+        )
         dict_all = cat.read(spark, IndexCatalog.DICTIONARY)
         terms_per_bucket = {
             int(r["bucket"]): int(r["n"])
@@ -876,23 +1166,20 @@ def build_index(
 
         def do_bucket(bucket: int) -> None:
             # ALL-NUMERIC from here on: parquet column pruning drops the
-            # field/term string columns of staging; df + field ordinal come
-            # from the (term_id-keyed) dictionary join
-            staged_b = staged_all.where(F.col("bucket") == bucket).select(
-                "term_id", "ord", "tf", "dl", "pos_bytes"
-            )
+            # term string column of staging; the field ordinal rides
+            # staging and only the bounded heavy-term salt map is applied
+            staged_b = staged_all.where(F.col("bucket") == bucket)
             n_terms = terms_per_bucket.get(bucket, 0)
-            dict_b = dict_all.where(F.col("bucket") == bucket).select(
-                "term_id", "df", "ford"
+            heavy_b = _heavy_salt_map(
+                dict_all.where(F.col("bucket") == bucket), config
             )
-            salted = _salt_postings(staged_b, dict_b, config, ord_bits)
+            salted = _salt_packed_runs(staged_b, heavy_b, ord_bits)
             # enough tasks per job that concurrent bucket jobs can fill
             # freed slots (finer granularity costs little; too-coarse tasks
             # leave cores idle during each job's tail)
             n_parts = max(spark.sparkContext.defaultParallelism, 8)
             blocks = (
                 salted.repartition(n_parts, "term_id", "salt")
-                .sortWithinPartitions("term_id", "salt", "ord")
                 .mapInArrow(builder, BLOCKS_SCHEMA)
             )
             obs = Observation(f"bucket_{bucket}")

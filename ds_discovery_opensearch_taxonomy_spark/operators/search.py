@@ -633,9 +633,7 @@ def _encode_virtual_key(
                 "n": np.asarray(rows["n"], dtype=np.int32),
                 "min_docid": np.asarray(rows["min_docid"], dtype=np.int64),
                 "max_docid": np.asarray(rows["max_docid"], dtype=np.int64),
-                "df": np.full(k, n, dtype=np.int64),
-                "idf": np.zeros(k),
-                "max_score_ub": np.ones(k),
+                "max_norm": np.ones(k),
                 "docids": rows["docids"],
                 "tfs": rows["tfs"],
                 "posdata": rows["posdata"],
@@ -801,9 +799,13 @@ class _Evaluator:
         return td
 
     def _term_ub(self, field: str, term: str) -> float:
-        """Block-max upper bound for one term — from metadata, no decode."""
+        """Block-max upper bound for one term — from metadata, no decode.
+        Blocks carry the df-independent ``max_norm``; idf folds in here
+        from the dictionary's global df (df_map)."""
         rows = self.rows_by_term.get(self.tid_map.get((field, term)))
-        return float(rows["max_score_ub"].max()) if rows is not None else 0.0
+        if rows is None:
+            return 0.0
+        return self._idf(field, term) * float(rows["max_norm"].max())
 
     def _clause_ub(self, node: qp.Node) -> float:
         """Max possible BM25 contribution of a SHOULD clause."""
@@ -921,7 +923,9 @@ class _Evaluator:
                 rows["min_docid"].to_numpy() <= hi
             )
             # block-max test: can this block lift ANY candidate over theta?
-            keep &= (max_acc + rows["max_score_ub"].to_numpy() + (rest - self._term_ub(node.field, node.term))) >= theta
+            # per-block ub = idf * max_norm (idf from the global dictionary)
+            idf_t = self._idf(node.field, node.term)
+            keep &= (max_acc + idf_t * rows["max_norm"].to_numpy() + (rest - self._term_ub(node.field, node.term))) >= theta
             if not keep.any():
                 return _EMPTY, _EMPTY
             td = _decode_rows(rows[keep], self.needs_pos)
@@ -1267,9 +1271,7 @@ def run_categories(
         F.col("n"),
         F.lit(0).cast("long").alias("min_docid"),
         F.lit(0).cast("long").alias("max_docid"),
-        F.lit(0).cast("long").alias("df"),
-        F.lit(0.0).alias("idf"),
-        F.lit(0.0).alias("max_score_ub"),
+        F.lit(0.0).alias("max_norm"),
         F.col("payload").alias("docids"),
         F.lit(None).cast("binary").alias("tfs"),
         F.lit(None).cast("binary").alias("posdata"),
@@ -1284,14 +1286,13 @@ def run_categories(
             F.lit(None).cast("binary")
         ),
     ).drop("needs_pos")
-    # shuffle only what the evaluator reads: block df/idf are dead at eval
-    # (global df comes from the dictionary via df_map), and bool matching
-    # needs neither length norms (dls) nor block-max metadata.  Catalyst
-    # prunes the dropped columns all the way down to the parquet scan.
+    # shuffle only what the evaluator reads: bool matching needs neither
+    # length norms (dls) nor block-max metadata.  Catalyst prunes the
+    # dropped columns all the way down to the parquet scan.
     eval_cols = ["term_id", "chunk", "salt", "band", "blk_seq", "n",
                  "docids", "tfs", "posdata"]
     if scored:
-        eval_cols += ["min_docid", "max_docid", "max_score_ub"]
+        eval_cols += ["min_docid", "max_docid", "max_norm"]
     tagged = tagged.select(*eval_cols)
 
     n_docs = float(reader.n_docs)

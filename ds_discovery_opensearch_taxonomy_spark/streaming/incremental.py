@@ -32,6 +32,29 @@ RESULT_SCHEMA = T.StructType(
 )
 
 
+#: reference IAID format (TaxonomyCLI/Categoriser.cs:28): C/D + 2-8 digits,
+#: or a 32-char hex-ish identifier
+IAID_PATTERN = r"^(C\d{2,8}|D\d{2,8}|\w{32})$"
+
+
+def parse_iaid_messages(messages: DataFrame, column: str = "body") -> DataFrame:
+    """Queue messages → one validated IAID per row.
+
+    Mirrors the reference's SQS consumption contract: each message body is a
+    ``;``-separated IAID list (Batch/Utils/MessageQueueExtensions.cs; README
+    "semicolon-separated"), and malformed IAIDs are rejected before
+    categorisation (TaxonomyCLI/Categoriser.cs:28 regex).  All JVM-side:
+    ``split`` + ``explode`` + ``rlike`` — usable on static and streaming
+    DataFrames alike.  Returns a single-column ``iaid`` DataFrame."""
+    return (
+        messages.select(
+            F.explode(F.split(F.col(column), ";")).alias("iaid")
+        )
+        .select(F.trim("iaid").alias("iaid"))
+        .where(F.col("iaid").rlike(IAID_PATTERN))
+    )
+
+
 def _batch_payload(engine: TaxonomyEngine):
     """Broadcast of (compiled queries, stats, config) — created ONCE per
     engine and reused by every micro-batch (a fresh broadcast per batch

@@ -214,3 +214,22 @@ def test_save_results_crash_between_write_and_swap(spark, engine, monkeypatch):
     got = {r["doc_id"]: r["category_ids"] for r in engine.results().collect()}
     changed = [d for d, c in got.items() if list(c) == ["CRASH"]]
     assert len(changed) == 2 and len(got) == len(before)
+
+
+def test_parse_iaid_messages(spark):
+    """Queue-message contract: ;-separated IAID lists, malformed entries
+    rejected by the reference regex (TaxonomyCLI/Categoriser.cs:28)."""
+    from ds_discovery_opensearch_taxonomy_spark.streaming.incremental import (
+        parse_iaid_messages,
+    )
+
+    msgs = spark.createDataFrame(
+        [
+            ("C123;D45678; C99 ;bogus;C1",),  # C1: too few digits
+            ("e" * 32 + ";C123456789",),  # 32-char ok; 9 digits too many
+            ("",),
+        ],
+        "body string",
+    )
+    got = sorted(r["iaid"] for r in parse_iaid_messages(msgs).collect())
+    assert got == ["C123", "C99", "D45678", "e" * 32]

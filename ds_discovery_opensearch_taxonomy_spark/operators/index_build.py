@@ -532,6 +532,35 @@ SALTED_SCHEMA = T.StructType(
 )
 
 
+def _run_stages_concurrently(cat: IndexCatalog, stages) -> None:
+    """Run independent stages' Spark ACTIONS in threads; commit results
+    sequentially on the caller's thread (manifest read-modify-write is not
+    thread-safe).  ``stages`` is [(stage_name, action) ...]; an action
+    returns the metrics dict for its commit.  Already-committed stages are
+    skipped; if any action fails, completed ones are committed first so a
+    resume skips them, then the first error propagates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = [(n, a) for n, a in stages if not cat.stage_done(n)]
+    if not todo:
+        return
+    if len(todo) == 1:
+        name, action = todo[0]
+        cat.commit_stage(name, action() or {})
+        return
+    with ThreadPoolExecutor(max_workers=len(todo)) as ex:
+        futures = [(name, ex.submit(action)) for name, action in todo]
+        first_err = None
+        for name, fut in futures:
+            try:
+                cat.commit_stage(name, fut.result() or {})
+            except Exception as e:  # commit completed stages before raising
+                if first_err is None:
+                    first_err = e
+        if first_err is not None:
+            raise first_err
+
+
 def _heavy_salt_map(dict_df: DataFrame, config: EngineConfig) -> dict[int, int]:
     """{term_id: salt_bits} for the SKEWED terms only — df above the salt
     target.  Provably tiny: at most total_postings / salt_target entries
@@ -873,8 +902,11 @@ def build_index(
     cat.set_meta("band_bits", band_bits)
     cat.set_meta("ord_bits", ord_bits_of(n_docs))
 
-    # -- stage 1: docs table (ord + metadata + per-row sha256 invariant) ----
-    if not cat.stage_done("docs"):
+    # -- stages 1 + 2 run their Spark ACTIONS concurrently (independent:
+    # both read only the corpus); manifest commits stay on this thread.
+    # Saves one small-job floor per build — at 100k docs the docs write is
+    # ~3 s of mostly scheduling that otherwise serializes before staging.
+    def _docs_action():
         meta_cols = ["doc_id", "repo", "path", "commit", "lang", "content_sha"] + [
             f for f in config.int_fields if f in corpus_with_ids.columns
         ]
@@ -894,14 +926,14 @@ def build_index(
                 "scans; materialize the corpus (e.g. write it to parquet) "
                 "before building"
             )
-        cat.commit_stage("docs", {"n_docs": n_docs})
 
     # -- stage 2: staged packed posting runs (per-split local indexes) ------
     # per-field sum of run cf rides the write as conditional-sum
     # observations: sum(cf) over a field's kind-0 rows == sum of per-doc
     # field lengths, so avgdl needs no second pass over staging at all.
     field_names = [f.name for f in config.fields]
-    if not cat.stage_done("staging"):
+
+    def _staging_action():
         tokens = tokenize_corpus(corpus_with_ids, config, offsets)
         staged = tokens.withColumn(
             "bucket", F.pmod(F.col("term_id"), F.lit(config.n_term_buckets))
@@ -928,10 +960,15 @@ def build_index(
         # path filters on the bucket COLUMN instead (row-group stats).
         cat.write(staged, IndexCatalog.STAGING)
         sum_dl = {fn: int(stg_obs.get[fn] or 0) for fn in field_names}
-        cat.commit_stage(
-            "staging",
-            {"bytes": cat.table_bytes(IndexCatalog.STAGING), "sum_dl": sum_dl},
-        )
+        return {"bytes": cat.table_bytes(IndexCatalog.STAGING), "sum_dl": sum_dl}
+
+    _run_stages_concurrently(
+        cat,
+        [
+            ("docs", lambda: (_docs_action(), {"n_docs": n_docs})[1]),
+            ("staging", _staging_action),
+        ],
+    )
 
     # -- stage 3: per-field doc stats (N, avgdl) — tiny driver-built table --
     # 4 rows: written directly with pyarrow (a Spark job for this pays the
@@ -977,7 +1014,7 @@ def build_index(
     # Lucene norms-file analogue, ONE int per doc-field instead of one
     # varbyte per POSTING in the blocks.  Rows are chunked so no parquet
     # cell or eval allocation exceeds ~2 MB even for giant bands.
-    if not cat.stage_done("docmap"):
+    def _docmap_action():
         docs_df = spark.read.parquet(cat.path(IndexCatalog.DOCS)).select(
             "ord", "doc_id"
         )
@@ -1061,7 +1098,6 @@ def build_index(
             dm.groupBy("band", "ford").applyInPandas(pack, dm_schema),
             IndexCatalog.DOCMAP,
         )
-        cat.commit_stage("docmap")
 
     # -- stage 4: dictionary (df/cf), ONE job for every bucket --------------
     # numeric groupBy over PACKED runs (one row per (term, split) — the agg
@@ -1069,7 +1105,7 @@ def build_index(
     # string (exactly once per run) is recovered with max() — a declarative
     # agg, so the whole stage codegens (first() would force
     # ObjectHashAggregate)
-    if not cat.stage_done("dictionary"):
+    def _dictionary_action():
         staged = spark.read.parquet(cat.path(IndexCatalog.STAGING)).where(
             F.col("kind") == 0
         )
@@ -1126,16 +1162,19 @@ def build_index(
                 "two distinct terms hash to one 64-bit id; rebuild with a "
                 "128-bit term id (see term_id_of)"
             )
-        cat.commit_stage(
-            "dictionary",
-            {
-                "term_id_collisions": 0,
-                "terms_per_bucket": {
-                    str(b): int(m[f"t{b}"] or 0)
-                    for b in range(config.n_term_buckets)
-                },
+        return {
+            "term_id_collisions": 0,
+            "terms_per_bucket": {
+                str(b): int(m[f"t{b}"] or 0)
+                for b in range(config.n_term_buckets)
             },
-        )
+        }
+
+    # docmap and dictionary both read only committed staging; their Spark
+    # actions run concurrently (one small-job floor saved per build)
+    _run_stages_concurrently(
+        cat, [("docmap", _docmap_action), ("dictionary", _dictionary_action)]
+    )
 
     # -- stage 5: per-bucket postings build (resumable loop) ----------------
     # one Spark job per bucket; metrics come from Observation (no read-back)

@@ -345,6 +345,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("score", 4).alias("score")
         )
 
+    def q_match_all(spark, sf):  # Q11 match-all syntax incl. NOT leg
+        return _run(spark, sf, '*:* NOT "vector"').select("doc_id")
+
+    def q_fuzzy(spark, sf):  # classic fuzzy ~N (Levenshtein expansion)
+        return _run(spark, sf, "window~1 OR tabel~1").select("doc_id")
+
     return {
         "q_match_bool": q_match_bool,
         "q_match_or": q_match_or,
@@ -381,6 +387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_field_scoped": q_field_scoped,
         "q_numeric_range_wide": q_numeric_range_wide,
         "q_boost": q_boost,
+        "q_match_all": q_match_all,
+        "q_fuzzy": q_fuzzy,
     }
 
 
@@ -434,6 +442,12 @@ WITH d2 AS (
   SELECT doc_id + 1000000, text FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 5)
 )
 """
+
+    def q_match_all(spark, sf):  # Q11 match-all syntax incl. NOT leg
+        return _run(spark, sf, '*:* NOT "vector"').select("doc_id")
+
+    def q_fuzzy(spark, sf):  # classic fuzzy ~N (Levenshtein expansion)
+        return _run(spark, sf, "window~1 OR tabel~1").select("doc_id")
 
     return {
         "q_match_bool": f"""
@@ -533,6 +547,15 @@ WITH d2 AS (
             SELECT count(*) AS n_docs,
                    round(avg(len(string_split(text, ' '))), 6) AS avgdl
             FROM documents
+        """,
+        "q_match_all": f"""
+            SELECT doc_id FROM documents
+            WHERE NOT list_contains({tok}, 'vector')
+        """,
+        "q_fuzzy": f"""
+            SELECT doc_id FROM documents
+            WHERE len(list_filter({tok}, x -> levenshtein(x, 'window') <= 1)) > 0
+               OR len(list_filter({tok}, x -> levenshtein(x, 'tabel') <= 1)) > 0
         """,
         "q_dedup_exact": dup_base + """
             , h AS (SELECT doc_id, sha256(text) AS grp FROM d2),

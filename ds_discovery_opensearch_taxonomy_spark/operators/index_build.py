@@ -31,7 +31,6 @@ Scale levers (north rule):
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -40,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ds_discovery_opensearch_taxonomy_spark.config import EngineConfig
-from ds_discovery_opensearch_taxonomy_spark.functions import analysis, codec, scoring
+from ds_discovery_opensearch_taxonomy_spark.functions import codec, scoring
 from ds_discovery_opensearch_taxonomy_spark.sources.catalog import IndexCatalog
 from ds_discovery_opensearch_taxonomy_spark.sources.corpus import with_doc_ids
 

@@ -77,8 +77,15 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     report: dict = {"rows": rows, "runs": runs, "levels": {}}
     report["hardware_calibration"] = calibrate()
+    # INTERLEAVE levels (4,16,4,16,...) — this host's throughput drifts
+    # +-40% over tens of minutes (shared tenancy), so grouping all runs of
+    # one level confounds level with time; interleaving decorrelates it
+    samples_by: dict[int, list] = {4: [], 16: []}
+    for _ in range(runs):
+        for cpus in (4, 16):
+            samples_by[cpus].append(run_once(cpus, rows, sf_dir))
     for cpus in (4, 16):
-        samples = [run_once(cpus, rows, sf_dir) for _ in range(runs)]
+        samples = samples_by[cpus]
         med = lambda k: statistics.median(s[k] for s in samples)  # noqa: E731
         report["levels"][str(cpus)] = {
             "index_build_sec_median": statistics.median(

@@ -8,20 +8,32 @@ so the streaming mode needs only ``foreachBatch`` + idempotent merge —
 no watermarks.
 
 New/changed corpus rows stream in with the corpus schema; each micro-batch
-is tokenized and scored against the broadcast compiled queries using the
-GLOBAL index stats (df/avgdl snapshot), so incremental scores equal what a
-full rebuild would produce, then merged into the results table.
+is tokenized into an IN-MEMORY per-batch index (the literal analogue of the
+reference's per-batch RAMDirectory, InMemoryCategoriserRepository.cs:461-502)
+and evaluated with the SAME vectorized kernel the distributed path uses
+(operators/search._Evaluator) — term/phrase/bool algebra over numpy posting
+arrays, never a per-doc Python query walk.  Wildcard/range/fuzzy constructs
+re-expand against the BATCH vocabulary (the reference expands against the
+transient per-batch index, so terms the global dictionary never saw still
+match), and numeric/id clauses evaluate as vectorized masks over the
+batch's metadata columns.  Results are merged into the results table.
 """
 
 from __future__ import annotations
 
+import bisect
+import re
+from functools import lru_cache
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ds_discovery_opensearch_taxonomy_spark.engine import TaxonomyEngine, _GlobalStatsOracle
+from ds_discovery_opensearch_taxonomy_spark.engine import TaxonomyEngine
 from ds_discovery_opensearch_taxonomy_spark.operators import search as search_ops
+from ds_discovery_opensearch_taxonomy_spark.plans import queryparser as qp
 from ds_discovery_opensearch_taxonomy_spark.sources.corpus import with_doc_ids
 
 RESULT_SCHEMA = T.StructType(
@@ -30,7 +42,6 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("category_ids", T.ArrayType(T.StringType()), False),
     ]
 )
-
 
 #: reference IAID format (TaxonomyCLI/Categoriser.cs:28): C/D + 2-8 digits,
 #: or a 32-char hex-ish identifier
@@ -77,95 +88,305 @@ def _batch_payload(engine: TaxonomyEngine):
     return engine._stream_payload
 
 
+@lru_cache(maxsize=4096)
+def _wild_rx(pattern: str):
+    return re.compile(
+        "^"
+        + "".join(
+            ".*" if c == "*" else "." if c == "?" else re.escape(c)
+            for c in pattern
+        )
+        + "$"
+    )
+
+
+def _expand_wildcard(vocab: list[str], pattern: str) -> list[str]:
+    """Wildcard expansion over a SORTED vocabulary: any literal prefix
+    narrows the candidates to a bisect range first (the regex then runs
+    over dozens of terms, not the whole vocabulary — same trick as the
+    dictionary lookup's pushed prefix filter); a pure-prefix pattern needs
+    no regex at all."""
+    i = len(pattern)
+    for c in "*?":
+        j = pattern.find(c)
+        if j != -1:
+            i = min(i, j)
+    prefix = pattern[:i]
+    lo = bisect.bisect_left(vocab, prefix)
+    hi = bisect.bisect_left(vocab, prefix + "￿") if prefix else len(vocab)
+    sub = vocab[lo:hi]
+    if pattern == prefix + "*":
+        return sub
+    rx = _wild_rx(pattern)
+    return [t for t in sub if rx.match(t)]
+
+
+def _expand_range(vocab: list[str], node: qp.TermRangeNode) -> list[str]:
+    lo = (
+        0
+        if node.lo is None
+        else (
+            bisect.bisect_left(vocab, node.lo)
+            if node.inc_lo
+            else bisect.bisect_right(vocab, node.lo)
+        )
+    )
+    hi = (
+        len(vocab)
+        if node.hi is None
+        else (
+            bisect.bisect_right(vocab, node.hi)
+            if node.inc_hi
+            else bisect.bisect_left(vocab, node.hi)
+        )
+    )
+    return vocab[lo:hi]
+
+
+def _collect_virtual(node: qp.Node, out: dict) -> None:
+    if isinstance(node, search_ops.VirtualDocsNode):
+        out[node.key] = node.source
+    elif isinstance(node, qp.BoostNode):
+        _collect_virtual(node.child, out)
+    elif isinstance(node, qp.DisMaxNode):
+        for c in node.children:
+            _collect_virtual(c, out)
+    elif isinstance(node, qp.BoolNode):
+        for _, c in node.clauses:
+            _collect_virtual(c, out)
+
+
+def _virtual_ids(node: qp.Node, pdf: pd.DataFrame, n: int) -> np.ndarray:
+    """Batch-local doc indices matching a metadata clause — the vectorized
+    twin of search.virtual_condition (Int32Field semantics,
+    InMemoryCategoriserRepository.cs:236-244)."""
+    if isinstance(node, qp.MatchAllNode):
+        return np.arange(n, dtype=np.int64)
+    if isinstance(node, qp.IntTermNode):
+        if node.field not in pdf:
+            return np.empty(0, dtype=np.int64)
+        col = pd.to_numeric(pdf[node.field], errors="coerce").to_numpy()
+        return np.flatnonzero(col == node.value).astype(np.int64)
+    if isinstance(node, qp.IntRangeNode):
+        if node.field not in pdf:
+            return np.empty(0, dtype=np.int64)
+        col = pd.to_numeric(pdf[node.field], errors="coerce").to_numpy(
+            dtype=np.float64
+        )
+        mask = ~np.isnan(col)
+        if node.lo is not None:
+            mask &= (col >= node.lo) if node.inc_lo else (col > node.lo)
+        if node.hi is not None:
+            mask &= (col <= node.hi) if node.inc_hi else (col < node.hi)
+        return np.flatnonzero(mask).astype(np.int64)
+    if isinstance(node, qp.IdNode):
+        for c in ("repo", "path", "commit"):
+            if c not in pdf:
+                return np.empty(0, dtype=np.int64)
+        refs = (
+            pdf["repo"].astype(str)
+            + "/" + pdf["path"].astype(str)
+            + "/" + pdf["commit"].astype(str)
+        ).str.lower()
+        return np.flatnonzero((refs == node.doc_ref).to_numpy()).astype(
+            np.int64
+        )
+    raise TypeError(type(node))  # pragma: no cover
+
+
 def categorise_batch(engine: TaxonomyEngine, batch_df: DataFrame) -> DataFrame:
     """Categorise one micro-batch of corpus rows; returns
     (doc_id, category_ids) incl. empty arrays (every input doc is emitted —
-    reference seeds all batch IAIDs).
+    reference seeds all batch IAIDs, InMemoryCategoriserRepository.cs:376-394).
 
-    Distributed evaluation: compiled queries + GLOBAL index stats
-    (df/avgdl/N snapshot) broadcast once per engine; each Arrow batch is
-    tokenized with the vectorized unique-span tokenizer (the same kernel as
-    the index build — cost scales with vocabulary, not rows), then matched
-    doc-at-a-time (mirrors the reference's per-IAID daily update,
-    CategoriseDocAmazonSqsConsumer.cs:24-91).  Scores (when computed) equal
-    the batch path's because the stats are the same snapshot."""
+    Per-batch in-memory index + the distributed path's vectorized
+    evaluator: tokenization runs the unique-span Arrow kernel, posting
+    arrays are lexsorted once per (batch, field), and each category query
+    evaluates as numpy set/position algebra over the whole batch — no
+    per-doc Python loop (measured ~40 docs/s doc-at-a-time vs thousands/s
+    vectorized at 136 categories)."""
     payload = _batch_payload(engine)
 
-    def run(batches):
+    def run(pdfs):
+        from ds_discovery_opensearch_taxonomy_spark.functions import codec
         from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
             ChunkTokenizer,
+            _ragged_gather,
+            term_id_of,
         )
-        from ds_discovery_opensearch_taxonomy_spark.operators.oracle import OracleDoc
+        from ds_discovery_opensearch_taxonomy_spark.operators.oracle import (
+            OracleIndex,
+        )
 
         compiled_q, dfm, avgdl, n_docs, config, cids = payload.value
         specs = [
             (f.name, f.analyzer, list(f.source_columns)) for f in config.fields
         ]
-        tok = ChunkTokenizer(specs)
         src_cols = sorted({c for f in config.fields for c in f.source_columns})
-        for pdf in batches:
+        fnames = [f.name for f in config.fields]
+        tok = ChunkTokenizer(specs)
+        expander = OracleIndex.__new__(OracleIndex)  # only expand_* used
+        chunk = 2048
+
+        for pdf in pdfs:
             n = len(pdf)
             if n == 0:
                 continue
-            import numpy as np
-
-            columns = {c: pdf[c].tolist() for c in src_cols}
-            doc_idx = np.arange(n, dtype=np.int64)
-            results = tok.tokenize(columns, doc_idx)
-            # per-doc field -> term -> positions, reconstructed from the
-            # vectorized postings (bounded by batch postings, not regex work)
-            fields: list[dict] = [
-                {f.name: {} for f in config.fields} for _ in range(n)
-            ]
-            dls: list[dict] = [{f.name: 0 for f in config.fields} for _ in range(n)]
-            for r in results:
-                fname = config.fields[r["ford"]].name
-                cache = tok.caches[r["ford"]]
-                bounds = r["pos_bounds"]
-                pos_all = _decode_all_positions(r)
-                for j in range(len(r["term_id"])):
-                    d = int(r["doc_id"][j])
-                    term = cache.tid_term[int(r["term_id"][j])]
-                    fields[d][fname][term] = pos_all[j]
-                    dls[d][fname] = int(r["dl"][j])
-            doc_ids = pdf["doc_id"].tolist() if "doc_id" in pdf else list(range(n))
-            int_cols = {
-                f: pdf[f].tolist() for f in config.int_fields if f in pdf
-            }
-            out_ids, out_cats = [], []
-            for i in range(n):
-                ints = {
-                    f: int(v[i]) for f, v in int_cols.items() if v[i] is not None
+            # -- tokenize the whole batch (chunked for analyzer memory) ----
+            acc: dict[int, dict] = {}
+            for lo in range(0, n, chunk):
+                m = min(chunk, n - lo)
+                columns = {
+                    c: pdf[c].iloc[lo : lo + m].tolist() for c in src_cols
                 }
-                doc = OracleDoc(doc_ids[i], str(doc_ids[i]), fields[i], dls[i], ints)
-                shim = _GlobalStatsOracle(doc, config, n_docs, avgdl, dfm)
-                cats = sorted(
-                    cid for cid in cids if shim.evaluate(compiled_q[cid], doc)[0]
+                for r in tok.tokenize(
+                    columns, np.arange(lo, lo + m, dtype=np.int64)
+                ):
+                    a = acc.setdefault(
+                        r["ford"],
+                        {"tid": [], "doc": [], "tf": [], "pd": [], "pb": []},
+                    )
+                    a["tid"].append(r["term_id"])
+                    a["doc"].append(r["doc_id"])
+                    a["tf"].append(r["tf"])
+                    a["pd"].append(r["pos_data"])
+                    a["pb"].append(r["pos_bounds"])
+
+            # -- per-field posting arrays sorted by (term, doc) ------------
+            #    fields[fname] = (doc_s, tf_s, flat_s, offs_s, run_tids,
+            #                     run_start, run_end)
+            fields: dict[str, tuple] = {}
+            vocab_by_field: dict[str, list] = {}
+            for ford, a in acc.items():
+                tid = np.concatenate(a["tid"])
+                doc = np.concatenate(a["doc"]).astype(np.int64)
+                tf = np.concatenate(a["tf"]).astype(np.int64)
+                total_pos = int(tf.sum())
+                deltas = codec.varbyte_decode(
+                    b"".join(a["pd"]), count=total_pos
+                ).astype(np.int64)
+                offs = np.zeros(len(tf) + 1, dtype=np.int64)
+                np.cumsum(tf, out=offs[1:])
+                starts = offs[:-1]
+                flat = np.cumsum(deltas)
+                first = flat[starts] - deltas[starts]
+                flat -= np.repeat(first, tf)  # per-posting absolute restart
+                order = np.lexsort((doc, tid))
+                tid_s = tid[order]
+                doc_s = doc[order]
+                tf_s = tf[order]
+                flat_s = flat[_ragged_gather(starts[order], tf_s)]
+                offs_s = np.zeros(len(tf_s) + 1, dtype=np.int64)
+                np.cumsum(tf_s, out=offs_s[1:])
+                gb = np.empty(len(tid_s), dtype=bool)
+                gb[0] = True
+                gb[1:] = tid_s[1:] != tid_s[:-1]
+                rs = np.flatnonzero(gb)
+                re_ = np.append(rs[1:], len(tid_s))
+                fname = fnames[ford]
+                fields[fname] = (doc_s, tf_s, flat_s, offs_s, tid_s[rs], rs, re_)
+                cache = tok.caches[ford]
+                vocab_by_field[fname] = sorted(
+                    {cache.tid_term[int(t)] for t in tid_s[rs]}
                 )
-                out_ids.append(doc.doc_id)
-                out_cats.append(cats)
-            yield pd.DataFrame({"doc_id": out_ids, "category_ids": out_cats})
+
+            # -- re-expand dictionary-dependent constructs vs BATCH vocab --
+            # (bool membership: global expansions absent from the batch
+            # vocabulary cannot match any batch doc, so batch-only suffices)
+            expander.terms_by_field = vocab_by_field
+
+            def rewrite(node: qp.Node) -> qp.Node:
+                if isinstance(node, search_ops.ExpandedTermsNode):
+                    src = node.source
+                    vocab = vocab_by_field.get(node.field, [])
+                    if isinstance(src, qp.WildcardNode):
+                        terms = _expand_wildcard(vocab, src.pattern)
+                    elif isinstance(src, qp.TermRangeNode):
+                        terms = _expand_range(vocab, src)
+                    else:
+                        terms = node.terms
+                    return search_ops.ExpandedTermsNode(
+                        node.field, tuple(terms), src
+                    )
+                if isinstance(node, search_ops.ExpandedFuzzyNode):
+                    if node.source is None:
+                        return node
+                    tb = expander.expand_fuzzy(node.source)
+                    return search_ops.ExpandedFuzzyNode(
+                        node.field,
+                        tuple(t for t, _ in tb),
+                        tuple(b for _, b in tb),
+                        node.source,
+                    )
+                if isinstance(node, qp.BoostNode):
+                    return qp.BoostNode(rewrite(node.child), node.boost)
+                if isinstance(node, qp.DisMaxNode):
+                    return qp.DisMaxNode(
+                        tuple(rewrite(c) for c in node.children),
+                        node.tie_breaker,
+                    )
+                if isinstance(node, qp.BoolNode):
+                    return qp.BoolNode(
+                        tuple((o, rewrite(c)) for o, c in node.clauses)
+                    )
+                return node
+
+            nodes = {cid: rewrite(compiled_q[cid]) for cid in cids}
+
+            # -- seed _TermData for every term the queries can touch -------
+            terms_cache: dict[int, search_ops._TermData] = {}
+            tid_map: dict[tuple[str, str], int] = {}
+            for node in nodes.values():
+                for f, t in search_ops.needed_terms(node):
+                    if (f, t) in tid_map or f == search_ops.VIRTUAL_FIELD:
+                        continue
+                    tidv = term_id_of(f, t)
+                    tid_map[(f, t)] = tidv
+                    fd = fields.get(f)
+                    if fd is None:
+                        continue
+                    doc_s, tf_s, flat_s, offs_s, run_tids, rs, re_ = fd
+                    i = int(np.searchsorted(run_tids, tidv))
+                    if i >= len(run_tids) or run_tids[i] != tidv:
+                        continue
+                    s0, e0 = int(rs[i]), int(re_[i])
+                    terms_cache[tidv] = search_ops._TermData(
+                        doc_s[s0:e0],
+                        tf_s[s0:e0],
+                        offs_s[s0 : e0 + 1] - offs_s[s0],
+                        flat_s[int(offs_s[s0]) : int(offs_s[e0])],
+                    )
+                virt: dict[str, qp.Node] = {}
+                _collect_virtual(node, virt)
+                for key, src in virt.items():
+                    if (search_ops.VIRTUAL_FIELD, key) in tid_map:
+                        continue
+                    tidv = term_id_of(search_ops.VIRTUAL_FIELD, key)
+                    tid_map[(search_ops.VIRTUAL_FIELD, key)] = tidv
+                    ids = _virtual_ids(src, pdf, n)
+                    terms_cache[tidv] = search_ops._TermData(
+                        ids, np.ones(len(ids), dtype=np.int64), None, None
+                    )
+
+            needs_pos = any(
+                search_ops._node_has_phrase(nd) for nd in nodes.values()
+            )
+            ev = search_ops._Evaluator(
+                {}, dfm, n_docs, config.k1, config.b, avgdl,
+                scored=False, needs_pos=needs_pos, tid_map=tid_map,
+            )
+            ev.terms = terms_cache  # pre-decoded batch postings
+
+            out_cats: list[list] = [[] for _ in range(n)]
+            for cid in sorted(nodes):
+                ids, _ = ev.eval(nodes[cid])
+                for i in ids.tolist():
+                    out_cats[i].append(cid)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].tolist(), "category_ids": out_cats}
+            )
 
     return with_doc_ids(batch_df).mapInPandas(run, RESULT_SCHEMA)
-
-
-def _decode_all_positions(r: dict) -> list:
-    """Per-posting position lists from one vectorized-tokenizer result."""
-    import numpy as np
-
-    from ds_discovery_opensearch_taxonomy_spark.functions import codec
-
-    deltas = codec.varbyte_decode(r["pos_data"]).astype(np.int64)
-    tfs = r["tf"].astype(np.int64)
-    offs = np.zeros(len(tfs) + 1, dtype=np.int64)
-    np.cumsum(tfs, out=offs[1:])
-    flat = np.cumsum(deltas)
-    starts = offs[:-1]
-    seg_start_vals = flat[starts] - deltas[starts]
-    corrections = np.zeros(len(deltas), dtype=np.int64)
-    corrections[starts] = np.diff(np.concatenate([[0], seg_start_vals]))
-    flat -= np.cumsum(corrections)
-    return [flat[offs[j] : offs[j + 1]].tolist() for j in range(len(tfs))]
 
 
 def start_incremental(

@@ -233,3 +233,29 @@ def test_parse_iaid_messages(spark):
     )
     got = sorted(r["iaid"] for r in parse_iaid_messages(msgs).collect())
     assert got == ["C123", "C99", "D45678", "e" * 32]
+
+
+def test_streaming_expanders():
+    """Sorted-vocab expansion helpers: prefix bisect + regex fallback."""
+    from ds_discovery_opensearch_taxonomy_spark.plans.queryparser import (
+        TermRangeNode,
+    )
+    from ds_discovery_opensearch_taxonomy_spark.streaming.incremental import (
+        _expand_range,
+        _expand_wildcard,
+    )
+
+    vocab = sorted(
+        ["ship", "shipment", "shipwreck", "shipwrecked", "shop", "sh", "zzz"]
+    )
+    assert _expand_wildcard(vocab, "ship*") == [
+        "ship", "shipment", "shipwreck", "shipwrecked",
+    ]
+    assert _expand_wildcard(vocab, "shipwreck*") == ["shipwreck", "shipwrecked"]
+    assert _expand_wildcard(vocab, "sh?p") == ["ship", "shop"]
+    assert _expand_wildcard(vocab, "*wreck") == ["shipwreck"]  # leading star
+    assert _expand_wildcard(vocab, "s*k") == ["shipwreck"]
+    r = TermRangeNode("f", "ship", "shipwreck", True, False)
+    assert _expand_range(vocab, r) == ["ship", "shipment"]
+    r2 = TermRangeNode("f", None, "sh", True, True)
+    assert _expand_range(vocab, r2) == ["sh"]

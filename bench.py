@@ -106,6 +106,21 @@ def main() -> int:
     ).count()
     timings["categorise_136_scored_top100"] = round(time.time() - t0, 3)
 
+    # streaming daily-update path: micro-batch categorise via the in-memory
+    # per-batch index (same docs, no global-index reads beyond stats)
+    from ds_discovery_opensearch_taxonomy_spark.streaming.incremental import (
+        categorise_batch,
+    )
+
+    stream_rows = min(50_000, n_rows)
+    stream_batch = (
+        corpus.limit(stream_rows).drop("doc_id", "content_sha").repartition(n_cpus)
+    )
+    t0 = time.time()
+    categorise_batch(engine, stream_batch).count()
+    timings["categorise_stream_50k"] = round(time.time() - t0, 3)
+    stream_rate = round(stream_rows / timings["categorise_stream_50k"], 1)
+
     # per-query latency sample (query-at-a-time, includes Spark job overhead)
     by_title = {c["title"]: c for c in cats}
     lat = []
@@ -138,6 +153,7 @@ def main() -> int:
         "categorise_docs_per_sec_bool": round(
             n_rows / timings["categorise_136_bool"], 1
         ),
+        "stream_docs_per_sec": stream_rate,
         "query_p50_sec": round(p50, 3),
         "query_p95_sec": round(p95, 3),
         "bool_matches": n_bool,

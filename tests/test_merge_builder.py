@@ -1,0 +1,135 @@
+"""Unit tests for the packed-run merge builder (operators/index_build).
+
+These drive the mapInArrow closures DIRECTLY with hand-built Arrow batches
+— no SparkSession — so the merge invariants (runs from disjoint ord ranges
+concatenate into globally sorted posting lists; blocks never cross band
+boundaries; positions survive the round trip) are pinned independently of
+the end-to-end parity tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ds_discovery_opensearch_taxonomy_spark.functions import codec
+from ds_discovery_opensearch_taxonomy_spark.operators import index_build as IB
+
+
+def _packed_run(term_id, ford, ords, tfs, dls, plists, salt=0):
+    """One SALTED_SCHEMA row from per-posting python lists."""
+    ords = np.asarray(ords, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int32)
+    dls = np.asarray(dls, dtype=np.int32)
+    flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in plists])
+    starts = np.cumsum([0] + [len(p) for p in plists])[:-1]
+    pos_data, bounds = codec.encode_position_groups(flat, starts)
+    lens = np.diff(bounds).astype(np.int32)
+    return {
+        "term_id": term_id,
+        "ford": ford,
+        "salt": salt,
+        "n": len(ords),
+        "min_ord": int(ords[0]),
+        "ord_bytes": ords.astype("<i8").tobytes(),
+        "tf_bytes": tfs.astype("<i4").tobytes(),
+        "dl_bytes": dls.astype("<i4").tobytes(),
+        "pos_lens": lens.astype("<i4").tobytes(),
+        "pos_data": pos_data,
+    }
+
+
+def _batch(rows):
+    names = [f.name for f in IB.SALTED_SCHEMA.fields]
+    types = {
+        "term_id": pa.int64(), "ford": pa.int32(), "salt": pa.int32(),
+        "n": pa.int32(), "min_ord": pa.int64(), "ord_bytes": pa.binary(),
+        "tf_bytes": pa.binary(), "dl_bytes": pa.binary(),
+        "pos_lens": pa.binary(), "pos_data": pa.binary(),
+    }
+    return pa.RecordBatch.from_arrays(
+        [pa.array([r[n] for r in rows], types[n]) for n in names],
+        names=names,
+    )
+
+
+def _run_builder(batches, n_docs=1000, block_size=4, band_bits=0):
+    avgdl = np.array([10.0, 12.0])
+    ord_shift = IB.ord_shift_of(n_docs, band_bits)
+    builder = IB.make_merge_builder(
+        float(n_docs), avgdl, 1.2, 0.75, block_size, ord_shift
+    )
+    out = list(builder(iter(batches)))
+    import pandas as pd
+
+    return pd.concat([b.to_pandas() for b in out]) if out else None
+
+
+def test_runs_merge_in_min_ord_order_across_batches():
+    """Runs of one term arriving out of order (and split across Arrow
+    batches) concatenate into a globally ord-sorted posting list."""
+    t = 42
+    r1 = _packed_run(t, 0, [100, 101, 150], [1, 2, 1], [5, 5, 5],
+                     [[0], [1, 3], [7]])
+    r2 = _packed_run(t, 0, [0, 7], [3, 1], [4, 4], [[2, 5, 9], [0]])
+    r3 = _packed_run(t, 0, [400], [1], [9], [[11]])
+    blocks = _run_builder([_batch([r1]), _batch([r3, r2])], block_size=128)
+    assert blocks is not None and (blocks["term_id"] == t).all()
+    gaps = codec.varbyte_decode(b"".join(blocks.sort_values("blk_seq")["docids"]))
+    # first gap absolute in the u64-shifted space, rest deltas (one block)
+    with np.errstate(over="ignore"):
+        got = (np.cumsum(gaps, dtype=np.uint64) - np.uint64(1 << 63)).astype(
+            np.int64
+        )
+    assert got.tolist() == [0, 7, 100, 101, 150, 400]
+    tfs = codec.varbyte_decode(b"".join(blocks.sort_values("blk_seq")["tfs"]))
+    assert tfs.tolist() == [3, 1, 1, 2, 1, 1]
+
+
+def test_blocks_split_at_block_size_and_band_boundary():
+    t = 7
+    # 6 postings, block_size 4 -> blocks of 4+2; with band_bits=1 over
+    # n_docs=1000 the band boundary is at ord 512 -> extra split
+    ords = [1, 2, 3, 500, 600, 700]
+    r = _packed_run(t, 0, ords, [1] * 6, [10] * 6, [[0]] * 6)
+    blocks = _run_builder([_batch([r])], block_size=4, band_bits=1)
+    blocks = blocks.sort_values(["band", "blk_seq"]).reset_index(drop=True)
+    # band 0: ords 1,2,3,500 -> but 500 < 512 so band 0 has 4 postings
+    assert blocks["n"].tolist() == [4, 2]
+    assert blocks["band"].tolist() == [0, 1]
+    assert blocks["min_docid"].tolist() == [1, 600]
+    assert blocks["max_docid"].tolist() == [500, 700]
+
+
+def test_max_norm_is_df_independent_tf_norm_max():
+    from ds_discovery_opensearch_taxonomy_spark.functions import scoring
+
+    t = 9
+    tfs = [1, 5, 2]
+    dls = [10, 10, 30]
+    r = _packed_run(t, 0, [1, 2, 3], tfs, dls, [[0]] * 3)
+    blocks = _run_builder([_batch([r])], block_size=128)
+    want = max(
+        scoring.tf_norm(np.array([tf], float), np.array([dl], float),
+                        10.0, 1.2, 0.75)[0]
+        for tf, dl in zip(tfs, dls)
+    )
+    assert blocks["max_norm"].iloc[0] == pytest.approx(want)
+
+
+def test_positions_roundtrip_through_merge():
+    t = 5
+    plists = [[2, 4, 9], [1], [0, 8]]
+    r = _packed_run(t, 1, [10, 20, 30], [3, 1, 2], [7, 7, 7], plists)
+    blocks = _run_builder([_batch([r])], block_size=128)
+    tfs = codec.varbyte_decode(b"".join(blocks["tfs"]))
+    offs, flat = codec.decode_positions(
+        tfs.astype(np.int64), b"".join(blocks["posdata"])
+    )
+    got = [flat[offs[i]:offs[i + 1]].tolist() for i in range(len(tfs))]
+    assert got == plists
+
+
+def test_empty_partition_yields_nothing():
+    assert _run_builder([]) is None

@@ -351,6 +351,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fuzzy(spark, sf):  # classic fuzzy ~N (Levenshtein expansion)
         return _run(spark, sf, "window~1 OR tabel~1").select("doc_id")
 
+    def q_stream_categorise(spark, sf):  # S5/S9: micro-batch daily-update
+        """The streaming categoriser (per-batch in-memory index + the
+        vectorized evaluator) over the documents table as ONE micro-batch;
+        every doc emitted with its sorted matching-category list."""
+        from ds_discovery_opensearch_taxonomy_spark.streaming.incremental import (
+            categorise_batch,
+        )
+
+        base = _engine(spark, sf)  # global index provides the stats snapshot
+        eng = TaxonomyEngine(spark, str(base.reader.cat.root), DOCS_CONFIG)
+        eng.set_categories(
+            [
+                {"category_id": "S1", "query_text": '"table" AND "window" NOT "vector"'},
+                {"category_id": "S2", "query_text": "quer* OR *ndow"},
+                {"category_id": "S3", "query_text": '"table window"'},
+            ]
+        )
+        return categorise_batch(eng, _docs(spark, sf)).select(
+            "doc_id", F.array_join("category_ids", ",").alias("cats")
+        )
+
     return {
         "q_match_bool": q_match_bool,
         "q_match_or": q_match_or,
@@ -389,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boost": q_boost,
         "q_match_all": q_match_all,
         "q_fuzzy": q_fuzzy,
+        "q_stream_categorise": q_stream_categorise,
     }
 
 
@@ -448,6 +470,27 @@ WITH d2 AS (
 
     def q_fuzzy(spark, sf):  # classic fuzzy ~N (Levenshtein expansion)
         return _run(spark, sf, "window~1 OR tabel~1").select("doc_id")
+
+    def q_stream_categorise(spark, sf):  # S5/S9: micro-batch daily-update
+        """The streaming categoriser (per-batch in-memory index + the
+        vectorized evaluator) over the documents table as ONE micro-batch;
+        every doc emitted with its sorted matching-category list."""
+        from ds_discovery_opensearch_taxonomy_spark.streaming.incremental import (
+            categorise_batch,
+        )
+
+        base = _engine(spark, sf)  # global index provides the stats snapshot
+        eng = TaxonomyEngine(spark, str(base.reader.cat.root), DOCS_CONFIG)
+        eng.set_categories(
+            [
+                {"category_id": "S1", "query_text": '"table" AND "window" NOT "vector"'},
+                {"category_id": "S2", "query_text": "quer* OR *ndow"},
+                {"category_id": "S3", "query_text": '"table window"'},
+            ]
+        )
+        return categorise_batch(eng, _docs(spark, sf)).select(
+            "doc_id", F.array_join("category_ids", ",").alias("cats")
+        )
 
     return {
         "q_match_bool": f"""
@@ -556,6 +599,20 @@ WITH d2 AS (
             SELECT doc_id FROM documents
             WHERE len(list_filter({tok}, x -> levenshtein(x, 'window') <= 1)) > 0
                OR len(list_filter({tok}, x -> levenshtein(x, 'tabel') <= 1)) > 0
+        """,
+        "q_stream_categorise": f"""
+            SELECT doc_id,
+                   concat_ws(',',
+                     CASE WHEN list_contains({tok}, 'table')
+                           AND list_contains({tok}, 'window')
+                           AND NOT list_contains({tok}, 'vector')
+                          THEN 'S1' END,
+                     CASE WHEN len(list_filter({tok}, x -> x LIKE 'quer%')) > 0
+                           OR len(list_filter({tok}, x -> x LIKE '%ndow')) > 0
+                          THEN 'S2' END,
+                     CASE WHEN ' ' || text || ' ' LIKE '% table window %'
+                          THEN 'S3' END) AS cats
+            FROM documents
         """,
         "q_dedup_exact": dup_base + """
             , h AS (SELECT doc_id, sha256(text) AS grp FROM d2),

@@ -386,7 +386,9 @@ def categorise_batch(engine: TaxonomyEngine, batch_df: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"].tolist(), "category_ids": out_cats}
             )
 
-    return with_doc_ids(batch_df).mapInPandas(run, RESULT_SCHEMA)
+    if "doc_id" not in batch_df.columns:
+        batch_df = with_doc_ids(batch_df)
+    return batch_df.mapInPandas(run, RESULT_SCHEMA)
 
 
 def start_incremental(

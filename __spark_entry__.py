@@ -372,6 +372,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.array_join("category_ids", ",").alias("cats")
         )
 
+    def q_embedding_near_dup(spark, sf):
+        # embedding-cosine near-dup: LSH-bucketed candidate pairs + exact
+        # cosine verify.  Injected exact duplicates (vec_id + 1e6) MUST be
+        # recalled (identical vectors share every band bucket), so at
+        # threshold ~1.0 the result is the exact collinear pair set — a
+        # hash-independent DuckDB twin (brute-force cosine over all pairs).
+        e = _emb(spark, sf)
+        e2 = e.unionByName(
+            e.where(F.col("vec_id") < 5).withColumn(
+                "vec_id", F.col("vec_id") + 1000000
+            )
+        )
+        return (
+            similarity.embedding_near_dup(e2, threshold=0.9999995, bands=4)
+            .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        )
+
     return {
         "q_match_bool": q_match_bool,
         "q_match_or": q_match_or,
@@ -411,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_match_all": q_match_all,
         "q_fuzzy": q_fuzzy,
         "q_stream_categorise": q_stream_categorise,
+        "q_embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -490,6 +508,23 @@ WITH d2 AS (
         )
         return categorise_batch(eng, _docs(spark, sf)).select(
             "doc_id", F.array_join("category_ids", ",").alias("cats")
+        )
+
+    def q_embedding_near_dup(spark, sf):
+        # embedding-cosine near-dup: LSH-bucketed candidate pairs + exact
+        # cosine verify.  Injected exact duplicates (vec_id + 1e6) MUST be
+        # recalled (identical vectors share every band bucket), so at
+        # threshold ~1.0 the result is the exact collinear pair set — a
+        # hash-independent DuckDB twin (brute-force cosine over all pairs).
+        e = _emb(spark, sf)
+        e2 = e.unionByName(
+            e.where(F.col("vec_id") < 5).withColumn(
+                "vec_id", F.col("vec_id") + 1000000
+            )
+        )
+        return (
+            similarity.embedding_near_dup(e2, threshold=0.9999995, bands=4)
+            .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         )
 
     return {
@@ -764,6 +799,23 @@ WITH d2 AS (
         "q_similarity_lsh": """
             SELECT vec_id AS query_id, vec_id, 1.0 AS cosine
             FROM embeddings WHERE vec_id < 200
+        """,
+        "q_embedding_near_dup": """
+            WITH e2 AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, embedding FROM embeddings
+                WHERE vec_id < 5
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_dot_product(a.embedding, b.embedding) /
+                       (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                        sqrt(list_dot_product(b.embedding, b.embedding))) AS c
+                FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(c, 4) AS cosine
+            FROM pairs WHERE round(c, 6) >= 0.9999995
         """,
         "q_wildcard_overlap": f"""
             SELECT 'WB' AS category_id, doc_id FROM documents

@@ -321,3 +321,56 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: (id_a, id_b, cosine) with
+    ``id_a < id_b`` and cosine >= ``threshold``.
+
+    Scale shape mirrors minhash_lsh_pairs (operators/dedup.py): candidates
+    come from a self-join keyed by (band, bucket) — vectors whose
+    random-hyperplane sign signatures agree on >= 1 band — never an
+    all-pairs cross join, and the exact cosine verify runs only on
+    candidates.  ``max_bucket`` bounds members per (band, bucket) so a
+    degenerate bucket (many identical vectors) cannot emit |bucket|^2/2
+    rows (deterministic keep: lowest id; a recall trade documented to
+    callers).  Recall is tunable via bands/n_planes: P(candidate) =
+    1 - (1 - s^r)^bands for signature agreement s, r = n_planes/bands.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    sig = lsh_signatures(embeddings, planes, bands, id_col, vec_col)
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "bucket").orderBy("vec_id")
+        sig = (
+            sig.withColumn("_rk", F.row_number().over(wb))
+            .where(F.col("_rk") <= max_bucket)
+            .drop("_rk")
+        )
+    a = sig.select("band", "bucket", F.col("vec_id").alias("id_a"))
+    b = sig.select("band", "bucket", F.col("vec_id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    e = embeddings.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        cand.join(e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "id_a")
+        .join(e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+    )
+    return scored.where(F.col("cosine") >= threshold)

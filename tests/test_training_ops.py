@@ -250,3 +250,23 @@ def test_lsh_bucket_cap_bounds_identical_doc_blowup(spark):
     sh_pairs = simhash_near_pairs(df, max_bucket=cap)
     c2 = sh_pairs.count()
     assert 0 < c2 <= cap * (cap - 1) // 2, c2
+
+
+def test_embedding_near_dup_recalls_exact_duplicates(spark, emb=None):
+    from ds_discovery_opensearch_taxonomy_spark.operators import similarity
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(60)]
+    # 10 exact duplicates under shifted ids
+    rows += [(i + 1000, rows[i][1]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup(df, threshold=0.9999995).collect()
+    }
+    for i in range(10):  # identical vectors share every band -> recall 1.0
+        assert (i, i + 1000) in pairs
+    # random 16-dim gaussians essentially never reach cosine ~1.0
+    assert all(b - a == 1000 for a, b in pairs)

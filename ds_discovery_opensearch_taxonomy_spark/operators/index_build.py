@@ -91,6 +91,11 @@ from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (  # noqa
     term_id_of,
 )
 
+#: docs per tokenizer call — bounds the analyzer working set; the packed
+#: emit accumulates the whole split regardless, so this only trades
+#: factorize-call overhead against span-cache churn
+TOKENIZE_CHUNK_DOCS = 2048
+
 #: bump when the on-disk table layout changes incompatibly (4 = packed
 #: staging runs + df-free blocks); build_index refuses to resume across versions
 INDEX_FORMAT_VERSION = 4
@@ -326,7 +331,7 @@ def tokenize_corpus(
 
     specs = [(f.name, f.analyzer, list(f.source_columns)) for f in config.fields]
     src_cols = sorted({c for f in config.fields for c in f.source_columns})
-    chunk = 2048  # docs per tokenizer call — bounds analyzer working set
+    chunk = TOKENIZE_CHUNK_DOCS  # docs per tokenizer call
 
     def run(batches):
         from pyspark import TaskContext

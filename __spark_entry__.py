@@ -389,6 +389,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         )
 
+    def q_categorise_all(spark, sf):  # R3/R7/A1: grouped per-doc category sets
+        """Index-backed categorise-all: every doc emitted with its sorted
+        matching-category list, EMPTY list kept (the reference seeds every
+        batch IAID, InMemoryCategoriserRepository.cs:376-394).  Same three
+        categories and oracle shape as q_stream_categorise, so the gate
+        pins batch-vs-stream agreement too."""
+        base = _engine(spark, sf)
+        eng = TaxonomyEngine(spark, str(base.reader.cat.root), DOCS_CONFIG)
+        eng.set_categories(
+            [
+                {"category_id": "S1", "query_text": '"table" AND "window" NOT "vector"'},
+                {"category_id": "S2", "query_text": "quer* OR *ndow"},
+                {"category_id": "S3", "query_text": '"table window"'},
+            ]
+        )
+        return eng.categorise_all().select(
+            "doc_id", F.array_join("category_ids", ",").alias("cats")
+        )
+
     return {
         "q_match_bool": q_match_bool,
         "q_match_or": q_match_or,
@@ -429,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy": q_fuzzy,
         "q_stream_categorise": q_stream_categorise,
         "q_embedding_near_dup": q_embedding_near_dup,
+        "q_categorise_all": q_categorise_all,
     }
 
 
@@ -525,6 +545,25 @@ WITH d2 AS (
         return (
             similarity.embedding_near_dup(e2, threshold=0.9999995, bands=4)
             .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        )
+
+    def q_categorise_all(spark, sf):  # R3/R7/A1: grouped per-doc category sets
+        """Index-backed categorise-all: every doc emitted with its sorted
+        matching-category list, EMPTY list kept (the reference seeds every
+        batch IAID, InMemoryCategoriserRepository.cs:376-394).  Same three
+        categories and oracle shape as q_stream_categorise, so the gate
+        pins batch-vs-stream agreement too."""
+        base = _engine(spark, sf)
+        eng = TaxonomyEngine(spark, str(base.reader.cat.root), DOCS_CONFIG)
+        eng.set_categories(
+            [
+                {"category_id": "S1", "query_text": '"table" AND "window" NOT "vector"'},
+                {"category_id": "S2", "query_text": "quer* OR *ndow"},
+                {"category_id": "S3", "query_text": '"table window"'},
+            ]
+        )
+        return eng.categorise_all().select(
+            "doc_id", F.array_join("category_ids", ",").alias("cats")
         )
 
     return {
@@ -636,6 +675,20 @@ WITH d2 AS (
                OR len(list_filter({tok}, x -> levenshtein(x, 'tabel') <= 1)) > 0
         """,
         "q_stream_categorise": f"""
+            SELECT doc_id,
+                   concat_ws(',',
+                     CASE WHEN list_contains({tok}, 'table')
+                           AND list_contains({tok}, 'window')
+                           AND NOT list_contains({tok}, 'vector')
+                          THEN 'S1' END,
+                     CASE WHEN len(list_filter({tok}, x -> x LIKE 'quer%')) > 0
+                           OR len(list_filter({tok}, x -> x LIKE '%ndow')) > 0
+                          THEN 'S2' END,
+                     CASE WHEN ' ' || text || ' ' LIKE '% table window %'
+                          THEN 'S3' END) AS cats
+            FROM documents
+        """,
+        "q_categorise_all": f"""
             SELECT doc_id,
                    concat_ws(',',
                      CASE WHEN list_contains({tok}, 'table')

@@ -88,6 +88,15 @@ class IndexReader:
 
         self.compile_cache: OrderedDict = OrderedDict()
         self.compile_cache_max = 64
+        #: (category_id, query_text) -> (node, df/bucket/tid map refs) —
+        #: populated by every batch compile, so a later SINGLE-category
+        #: compile (the API search / bench per-query path) reuses the 136-
+        #: batch's dictionary job instead of launching its own (the compile
+        #: job was ~0.5-1 s of a single query's ~1.3 s).  Values reference
+        #: the batch maps (supersets are harmless: bucket/tid lookups are
+        #: keyed by the query's own needed terms).
+        self.percat_cache: OrderedDict = OrderedDict()
+        self.percat_cache_max = 1024
         #: per-(virtual key, band_bits) materialized+persisted block DFs —
         #: a metadata clause's doc set is immutable for this index snapshot,
         #: so each clause pays its docs-table scan once per reader, not once
@@ -375,6 +384,21 @@ class VirtualDocsNode(qp.Node):
     source: qp.Node
 
 
+def _collect_virtual_nodes(node: qp.Node, out: dict) -> None:
+    """Gather {key: source clause} for every VirtualDocsNode in an AST —
+    lets cached compiles rebuild the virtual dict without re-rewriting."""
+    if isinstance(node, VirtualDocsNode):
+        out[node.key] = node.source
+    elif isinstance(node, qp.BoostNode):
+        _collect_virtual_nodes(node.child, out)
+    elif isinstance(node, qp.DisMaxNode):
+        for c in node.children:
+            _collect_virtual_nodes(c, out)
+    elif isinstance(node, qp.BoolNode):
+        for _, c in node.clauses:
+            _collect_virtual_nodes(c, out)
+
+
 def compile_queries(
     reader: IndexReader,
     categories: list[tuple[str, str]],
@@ -397,6 +421,25 @@ def compile_queries(
     if cached is not None:
         reader.compile_cache.move_to_end(cache_key)
         return cached
+    hits = [reader.percat_cache.get((cid, q, config)) for cid, q in categories]
+    if all(h is not None for h in hits):
+        # assemble from per-category compiles — no dictionary job
+        compiled = {cid: h[0] for (cid, _), h in zip(categories, hits)}
+        df_map: dict = {}
+        bucket_map: dict = {}
+        tid_map: dict = {}
+        virtual: dict[str, qp.Node] = {}
+        for h in hits:
+            df_map.update(h[1])
+            bucket_map.update(h[2])
+            tid_map.update(h[3])
+        for node in compiled.values():
+            _collect_virtual_nodes(node, virtual)
+        out = (compiled, virtual, df_map, bucket_map, tid_map)
+        reader.compile_cache[cache_key] = out
+        while len(reader.compile_cache) > reader.compile_cache_max:
+            reader.compile_cache.popitem(last=False)
+        return out
     parsed = {cid: qp.parse_query(q, config) for cid, q in categories}
 
     # every dictionary-dependent need of the whole batch, resolved in ONE
@@ -458,6 +501,12 @@ def compile_queries(
     reader.compile_cache[cache_key] = out
     while len(reader.compile_cache) > reader.compile_cache_max:
         reader.compile_cache.popitem(last=False)
+    for cid, q in categories:
+        reader.percat_cache[(cid, q, config)] = (
+            compiled[cid], df_map, bucket_map, tid_map,
+        )
+    while len(reader.percat_cache) > reader.percat_cache_max:
+        reader.percat_cache.popitem(last=False)
     return out
 
 
@@ -1231,10 +1280,14 @@ def run_categories(
         ["term_id", "chunk", "needs_pos"],
     )
     band_bits = reader.band_bits
-    # bucket pruning: buckets hosting the needed terms — known from the
-    # dictionary fetch in compile_queries (no extra job); terms absent from
-    # the dictionary have no postings anywhere
-    buckets = sorted({b for b in bucket_map.values()})
+    # bucket pruning: buckets hosting THIS run's needed terms — known from
+    # the dictionary fetch in compile_queries (no extra job); terms absent
+    # from the dictionary have no postings anywhere.  bucket_map may be a
+    # superset (per-category compile cache shares the batch's maps), so
+    # filter by the evaluated categories' own terms.
+    buckets = sorted(
+        {bucket_map[k] for k in term_cats if k in bucket_map}
+    )
     from ds_discovery_opensearch_taxonomy_spark.operators.index_build import (
         BLOCKS_SCHEMA,
     )

@@ -133,3 +133,35 @@ def test_positions_roundtrip_through_merge():
 
 def test_empty_partition_yields_nothing():
     assert _run_builder([]) is None
+
+
+def test_run_stages_concurrently_commits_successes(tmp_path):
+    """A failing stage must not lose sibling commits (resume skips them)."""
+    from ds_discovery_opensearch_taxonomy_spark.operators.index_build import (
+        _run_stages_concurrently,
+    )
+    from ds_discovery_opensearch_taxonomy_spark.sources.catalog import (
+        IndexCatalog,
+    )
+
+    cat = IndexCatalog(str(tmp_path / "idx"))
+
+    def ok():
+        return {"x": 1}
+
+    def bad():
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        _run_stages_concurrently(cat, [("a", ok), ("b", bad)])
+    assert cat.stage_done("a") and not cat.stage_done("b")
+
+    calls = []
+
+    def count_ok():
+        calls.append(1)
+        return {}
+
+    # committed stages are skipped on resume; only 'b' runs
+    _run_stages_concurrently(cat, [("a", bad), ("b", count_ok)])
+    assert cat.stage_done("b") and len(calls) == 1

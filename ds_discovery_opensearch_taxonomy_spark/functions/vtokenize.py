@@ -123,25 +123,33 @@ class FieldSpanCache:
     """Process-lifetime expansion cache for one indexed field.
 
     Maps span string -> uid; flat arrays hold each uid's emission slots
-    (term_id, increment, validity).  Bounded by ``max_spans`` — cleared
+    (term_id, increment, validity).  Bounded by ``max_spans`` — the SPAN
+    cache (slot dict + flat slot arrays, the bulk of the memory) is cleared
     wholesale if an adversarial corpus exceeds it (cost: recomputation,
-    never wrong results)."""
+    never wrong results).  The tid <-> term maps are deliberately NOT
+    cleared: consumers resolve accumulated tids only at partition/batch end
+    (index_build._pack_field_runs, streaming vocab recovery), so dropping
+    them mid-partition would turn the safety valve into a KeyError crash.
+    They are tid-keyed, collision-checked downstream (dictionary stage),
+    and grow with the worker's seen VOCABULARY — a fraction of what the
+    span reset frees."""
 
     def __init__(self, field_name: str, analyzer: str, max_spans: int = 4_000_000):
         self.field = field_name
         self.analyzer = analyzer
         self.max_spans = max_spans
+        self.tid_term: dict[int, str] = {}
+        self._term_tid: dict[str, int] = {}
         self._reset()
 
     def _reset(self) -> None:
+        """Clear the span cache only — tid/term maps survive (see class doc)."""
         self.slot: dict[str, int] = {}
         self.starts = _Flat(np.int64)
         self.lens = _Flat(np.int32)
         self.tids = _Flat(np.int64)
         self.incs = _Flat(np.int32)
         self.valid = _Flat(bool)
-        self.tid_term: dict[int, str] = {}
-        self._term_tid: dict[str, int] = {}
 
     def _add(self, span: str) -> int:
         terms, incs = analyze_span_slots(self.analyzer, span)

@@ -793,6 +793,33 @@ def make_merge_builder(
     return run
 
 
+#: on-disk packed-run bytes per merge task.  The merge builder materializes
+#: its whole shuffle partition (Table.from_batches + take), so per-task
+#: memory must be bounded by DATA-scaled partitioning, not defaultParallelism
+#: (which is constant as the corpus grows).  Parquet-compressed runs expand
+#: ~2-4x in memory; 256 MB on-disk keeps tasks comfortably inside a normal
+#: executor heap share while staying coarse enough to amortize task overhead.
+_MERGE_TARGET_BYTES = 256 << 20
+
+
+def _merge_partitions(
+    spark: SparkSession, cat: IndexCatalog, config: EngineConfig,
+    frac: float = 1.0,
+) -> int:
+    """Partition count for the (term_id, salt) merge shuffle: scaled from
+    committed staging bytes (``frac`` = share of staging this job reads,
+    e.g. 1/n_term_buckets for a single-bucket resume), floored at 2x cores
+    so small builds still use the whole cluster."""
+    staging_bytes = (
+        cat.manifest()["stages"]
+        .get("staging", {})
+        .get("metrics", {})
+        .get("bytes")
+    ) or cat.table_bytes(IndexCatalog.STAGING)
+    by_bytes = -(-int(staging_bytes * frac) // _MERGE_TARGET_BYTES)
+    return max(2 * spark.sparkContext.defaultParallelism, 16, by_bytes)
+
+
 def _build_postings_single_job(
     spark: SparkSession, cat: IndexCatalog, config: EngineConfig, builder,
     ord_bits: int,
@@ -810,7 +837,7 @@ def _build_postings_single_job(
         cat.read(spark, IndexCatalog.DICTIONARY), config
     )
     salted = _salt_packed_runs(staged_all, heavy, ord_bits)
-    n_parts = max(2 * spark.sparkContext.defaultParallelism, 16)
+    n_parts = _merge_partitions(spark, cat, config)
     # NO sortWithinPartitions: the merge builder orders RUNS columnar
     # inside the worker (numpy lexsort over ~|runs| keys) — see
     # make_merge_builder's docstring for the measured per-posting-row cost
@@ -1219,8 +1246,14 @@ def build_index(
             salted = _salt_packed_runs(staged_b, heavy_b, ord_bits)
             # enough tasks per job that concurrent bucket jobs can fill
             # freed slots (finer granularity costs little; too-coarse tasks
-            # leave cores idle during each job's tail)
-            n_parts = max(spark.sparkContext.defaultParallelism, 8)
+            # leave cores idle during each job's tail); data-scaled so
+            # per-task memory stays bounded at any corpus size
+            n_parts = max(
+                spark.sparkContext.defaultParallelism, 8,
+                _merge_partitions(
+                    spark, cat, config, frac=1.0 / config.n_term_buckets
+                ),
+            )
             blocks = (
                 salted.repartition(n_parts, "term_id", "salt")
                 .mapInArrow(builder, BLOCKS_SCHEMA)

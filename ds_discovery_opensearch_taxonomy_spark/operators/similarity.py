@@ -331,9 +331,12 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = 4096,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: (id_a, id_b, cosine) with
-    ``id_a < id_b`` and cosine >= ``threshold``.
+    ``id_a < id_b`` and cosine >= ``threshold``.  Pass ``dim`` explicitly
+    to skip the one-row dimension probe job (and to make the empty-input
+    result well-defined without it).
 
     Scale shape mirrors minhash_lsh_pairs (operators/dedup.py): candidates
     come from a self-join keyed by (band, bucket) — vectors whose
@@ -345,7 +348,13 @@ def embedding_near_dup(
     callers).  Recall is tunable via bands/n_planes: P(candidate) =
     1 - (1 - s^r)^bands for signature agreement s, r = n_planes/bands.
     """
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        probe = embeddings.select(vec_col).first()
+        if probe is None:  # empty input: no pairs (first() would be None)
+            return embeddings.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = len(probe[0])
     planes = hyperplanes(dim, n_planes)
     sig = lsh_signatures(embeddings, planes, bands, id_col, vec_col)
     if max_bucket is not None:

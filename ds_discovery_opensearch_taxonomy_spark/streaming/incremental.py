@@ -100,6 +100,19 @@ def _wild_rx(pattern: str):
     )
 
 
+def _prefix_successor(prefix: str) -> str | None:
+    """Smallest string greater than every string starting with ``prefix``:
+    increment the last code point, dropping trailing U+10FFFF code points
+    (which have no successor).  None means "no upper bound".  A sentinel
+    like ``prefix + chr(0xFFFF)`` is WRONG: supplementary-plane characters
+    (emoji, CJK extensions) sort above U+FFFF and would be silently
+    excluded from the bisect range."""
+    s = prefix.rstrip("\U0010FFFF")
+    if not s:
+        return None
+    return s[:-1] + chr(ord(s[-1]) + 1)
+
+
 def _expand_wildcard(vocab: list[str], pattern: str) -> list[str]:
     """Wildcard expansion over a SORTED vocabulary: any literal prefix
     narrows the candidates to a bisect range first (the regex then runs
@@ -113,7 +126,8 @@ def _expand_wildcard(vocab: list[str], pattern: str) -> list[str]:
             i = min(i, j)
     prefix = pattern[:i]
     lo = bisect.bisect_left(vocab, prefix)
-    hi = bisect.bisect_left(vocab, prefix + "￿") if prefix else len(vocab)
+    succ = _prefix_successor(prefix) if prefix else None
+    hi = bisect.bisect_left(vocab, succ) if succ is not None else len(vocab)
     sub = vocab[lo:hi]
     if pattern == prefix + "*":
         return sub

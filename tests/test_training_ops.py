@@ -270,3 +270,11 @@ def test_embedding_near_dup_recalls_exact_duplicates(spark, emb=None):
         assert (i, i + 1000) in pairs
     # random 16-dim gaussians essentially never reach cosine ~1.0
     assert all(b - a == 1000 for a, b in pairs)
+
+
+def test_embedding_near_dup_empty_input(spark):
+    """Empty input returns an empty pair set, not a TypeError from the
+    dimension probe (ADVICE r2); an explicit dim skips the probe job."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.embedding_near_dup(empty).count() == 0
+    assert similarity.embedding_near_dup(empty, dim=8).count() == 0

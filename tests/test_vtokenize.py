@@ -151,3 +151,49 @@ def test_cache_reuse_across_chunks_is_consistent():
 
     cold = ChunkTokenizer([("f", TEXT_NO_CAS_NO_PUNC, ["content"])])
     assert collect(warm) == collect(cold)
+
+
+def test_span_cache_reset_preserves_tid_terms():
+    """A mid-partition span-cache reset (max_spans exceeded) must keep the
+    tid -> term map intact: _pack_field_runs and the streaming vocab
+    recovery resolve tids accumulated BEFORE the reset only at
+    partition/batch end (ADVICE r2: deferred lookup turned the safety valve
+    into a KeyError crash)."""
+    from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
+        FieldSpanCache,
+    )
+
+    cache = FieldSpanCache("f", TEXT_NO_CAS_NO_PUNC, max_spans=4)
+    first = np.asarray(["alpha", "beta", "gamma"], dtype=object)
+    uids1 = cache.uid_lut(first)
+    tids_before = {cache.tids.view()[int(cache.starts.view()[u])] for u in uids1}
+    # exceed max_spans -> next uid_lut call resets the SPAN cache
+    cache.uid_lut(np.asarray(["d1", "d2", "d3", "d4", "d5"], dtype=object))
+    assert len(cache.slot) > cache.max_spans
+    cache.uid_lut(np.asarray(["omega"], dtype=object))  # triggers reset
+    assert "alpha" not in cache.slot  # span cache really was cleared
+    # ...but every earlier tid still resolves to its term string
+    for tid in tids_before:
+        assert cache.tid_term[int(tid)] in {"alpha", "beta", "gamma"}
+    # and re-seen spans reuse the SAME tid (term map is the authority)
+    uids2 = cache.uid_lut(first)
+    tids_after = {cache.tids.view()[int(cache.starts.view()[u])] for u in uids2}
+    assert tids_after == tids_before
+
+
+def test_streaming_wildcard_prefix_successor():
+    """Prefix bisect must include vocabulary terms containing
+    supplementary-plane characters (> U+FFFF) after the literal prefix."""
+    from ds_discovery_opensearch_taxonomy_spark.streaming.incremental import (
+        _expand_wildcard,
+        _prefix_successor,
+    )
+
+    vocab = sorted(["cat", "cat\U0001F600x", "cat￿z", "cub", "dog"])
+    assert set(_expand_wildcard(vocab, "cat*")) == {
+        "cat", "cat\U0001F600x", "cat￿z"
+    }
+    assert set(_expand_wildcard(vocab, "c*b")) == {"cub"}
+    assert _prefix_successor("ab") == "ac"
+    assert _prefix_successor("a\U0010FFFF") == "b"
+    assert _prefix_successor("\U0010FFFF") is None

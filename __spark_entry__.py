@@ -79,6 +79,29 @@ def _run(spark, sf_dir, query, scored=False, top_k=None) -> DataFrame:
     return run_categories(spark, eng.reader, [("q", query)], scored=scored, top_k=top_k)
 
 
+_INCR_ENGINES: dict[str, TaxonomyEngine] = {}
+
+
+def _incr_engine(spark: SparkSession, sf_dir: str) -> TaxonomyEngine:
+    """Engine whose index was built on 80% of the documents table and then
+    APPENDED with the remaining 20% via the daily-update maintenance path
+    (operators/index_append.py) — queries read the live main∪delta view."""
+    if sf_dir not in _INCR_ENGINES:
+        key = hashlib.sha1((sf_dir + ":incr:v1").encode()).hexdigest()[:10]
+        idx = Path("/root/repo/.scratch") / f"entry_index_{key}"
+        corpus = _docs(spark, sf_dir).withColumn(
+            "NUM_START_DATE",
+            (F.lit(19000101) + (F.col("doc_id") % 120) * 10000).cast("int"),
+        )
+        base = corpus.where(F.col("doc_id") % 5 != 0)
+        extra = corpus.where(F.col("doc_id") % 5 == 0)
+        build_index(spark, base, str(idx), DOCS_CONFIG, resume=True)
+        eng = TaxonomyEngine(spark, str(idx), DOCS_CONFIG)
+        eng.append_docs(extra, batch_key="incr-0")  # no-op on replay
+        _INCR_ENGINES[sf_dir] = eng
+    return _INCR_ENGINES[sf_dir]
+
+
 # --------------------------------------------------------------------------
 
 
@@ -408,6 +431,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.array_join("category_ids", ",").alias("cats")
         )
 
+    def q_incremental_index(spark, sf):  # S5/S8/I7: live-index append path
+        """Index maintenance (SURVEY §3.2): build on 80% of docs, APPEND
+        the rest through the daily-update path, then run a scored match
+        query over the LIVE index — rows and exact BM25 scores must equal
+        the oracle over the FULL table (appended postings, folded df,
+        updated n/avgdl).  Reference contract: updated docs are
+        immediately searchable (OpenSearchIAViewUpdateRepository.cs:32-70)."""
+        eng = _incr_engine(spark, sf)
+        return run_categories(
+            spark, eng.reader, [("q", '"table" AND "window"')], scored=True
+        ).select("doc_id", F.round("score", 4).alias("score"))
+
     return {
         "q_match_bool": q_match_bool,
         "q_match_or": q_match_or,
@@ -449,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_categorise": q_stream_categorise,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_categorise_all": q_categorise_all,
+        "q_incremental_index": q_incremental_index,
     }
 
 
@@ -547,25 +583,6 @@ WITH d2 AS (
             .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         )
 
-    def q_categorise_all(spark, sf):  # R3/R7/A1: grouped per-doc category sets
-        """Index-backed categorise-all: every doc emitted with its sorted
-        matching-category list, EMPTY list kept (the reference seeds every
-        batch IAID, InMemoryCategoriserRepository.cs:376-394).  Same three
-        categories and oracle shape as q_stream_categorise, so the gate
-        pins batch-vs-stream agreement too."""
-        base = _engine(spark, sf)
-        eng = TaxonomyEngine(spark, str(base.reader.cat.root), DOCS_CONFIG)
-        eng.set_categories(
-            [
-                {"category_id": "S1", "query_text": '"table" AND "window" NOT "vector"'},
-                {"category_id": "S2", "query_text": "quer* OR *ndow"},
-                {"category_id": "S3", "query_text": '"table window"'},
-            ]
-        )
-        return eng.categorise_all().select(
-            "doc_id", F.array_join("category_ids", ",").alias("cats")
-        )
-
     return {
         "q_match_bool": f"""
             SELECT doc_id FROM documents
@@ -645,6 +662,15 @@ WITH d2 AS (
             ["spark"],
             "SELECT doc_id, round(score, 4) AS score FROM scores "
             "WHERE score >= 0.3 ORDER BY score DESC, doc_id LIMIT 15",
+        ),
+        # incremental maintenance: the engine index was built on 80% of the
+        # table and appended with the rest — the oracle is simply full-table
+        # BM25, so rows+scores green proves the append folded df/N/avgdl
+        "q_incremental_index": bm25(
+            ["table", "window"],
+            "SELECT doc_id, round(score, 4) AS score FROM scores "
+            "WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
+            "  AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'window')",
         ),
         "q_count": f"""
             SELECT count(*) AS match_count FROM documents

@@ -55,6 +55,51 @@ class TaxonomyEngine:
         build_index(spark, corpus, index_dir, config, resume=resume)
         return cls(spark, index_dir, config)
 
+    # -- incremental maintenance (daily update, SURVEY §3.2) ------------------
+
+    def refresh(self) -> None:
+        """Rebind to the index's current state (after appends/compaction):
+        drops the reader's persisted tables, compile caches and the stream
+        payload so the next query sees the live view — the OpenSearch
+        "refresh makes changes searchable" analogue."""
+        self.reader.unpersist()
+        self.reader = search_ops.IndexReader(
+            self.spark, str(self.reader.cat.root), self.config
+        )
+        if getattr(self, "_stream_payload", None) is not None:
+            self._stream_payload.unpersist()
+            self._stream_payload = None
+
+    def append_docs(self, rows_df: DataFrame, batch_key: str) -> dict | None:
+        """Append new/updated corpus rows to the LIVE index (idempotent by
+        ``batch_key``) and refresh, so they are immediately searchable —
+        the reference's bulk doc-as-upsert contract
+        (OpenSearchIAViewUpdateRepository.cs:32-70).  Re-ingested doc_ids
+        supersede their previous version (tombstoned); a batch must not
+        contain one doc_id twice."""
+        from ds_discovery_opensearch_taxonomy_spark.operators.index_append import (
+            append_batch,
+        )
+
+        metrics = append_batch(
+            self.spark, self.reader.cat, self.config, rows_df, batch_key
+        )
+        if metrics is not None:
+            self.refresh()
+        return metrics
+
+    def compact(self) -> dict | None:
+        """Fold accumulated append deltas into the main tables (one atomic
+        manifest commit; see operators/index_append.compact_index)."""
+        from ds_discovery_opensearch_taxonomy_spark.operators.index_append import (
+            compact_index,
+        )
+
+        out = compact_index(self.spark, self.reader.cat, self.config)
+        if out is not None:
+            self.refresh()
+        return out
+
     # -- categories (S3/S4: small dimension, loaded once & cached) -----------
 
     def categories(self) -> list[dict]:

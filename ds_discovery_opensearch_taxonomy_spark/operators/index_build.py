@@ -173,8 +173,34 @@ def partition_offsets(corpus: DataFrame) -> tuple[list[int], int]:
     return offsets, acc
 
 
-def attach_ords(df: DataFrame, offsets: list[int]) -> DataFrame:
-    """Append the dense ``ord`` column from partition offsets (no shuffle)."""
+def expected_counts(offsets: list[int], n_docs: int) -> list[int]:
+    """Per-partition row counts implied by the committed offsets — the
+    contract every later pass over the same input must reproduce."""
+    bounds = offsets + [n_docs]
+    return [bounds[i + 1] - bounds[i] for i in range(len(offsets))]
+
+
+def _check_partition_count(pid: int, seen: int, expected: list[int] | None):
+    """Doc_id-alignment guard: a pass that observes a different per-partition
+    row count than the offsets pass would silently mis-assign dense ords
+    (every posting keyed to the wrong doc).  The contract (immutable input +
+    fixed scan conf => identical partition planning) normally holds; this
+    makes any violation loud AT THE TASK, not a wrong index."""
+    if expected is not None and pid < len(expected) and seen != expected[pid]:
+        raise RuntimeError(
+            f"partition {pid} saw {seen} rows but the offsets pass saw "
+            f"{expected[pid]} — input partitioning drifted between scans; "
+            "materialize the corpus (write to parquet) before building"
+        )
+
+
+def attach_ords(
+    df: DataFrame, offsets: list[int], expected: list[int] | None = None
+) -> DataFrame:
+    """Append the dense ``ord`` column from partition offsets (no shuffle).
+    ``expected`` (per-partition counts from the offsets pass) turns any
+    partition-planning drift into a task failure instead of silent ord
+    misalignment."""
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("ord", T.LongType(), False)]
     )
@@ -183,13 +209,16 @@ def attach_ords(df: DataFrame, offsets: list[int]) -> DataFrame:
         import pyarrow as pa
         from pyspark import TaskContext
 
-        nxt = offsets[TaskContext.get().partitionId()]
+        pid = TaskContext.get().partitionId()
+        start = offsets[pid]
+        nxt = start
         for rb in batches:
             ords = pa.array(
                 np.arange(nxt, nxt + rb.num_rows, dtype=np.int64), pa.int64()
             )
             nxt += rb.num_rows
             yield rb.append_column("ord", ords)
+        _check_partition_count(pid, nxt - start, expected)
 
     return df.mapInArrow(run, out_schema)
 
@@ -310,7 +339,10 @@ def _pack_sentinel(ford: int, s: dict) -> "object":
 
 
 def tokenize_corpus(
-    corpus: DataFrame, config: EngineConfig, offsets: list[int]
+    corpus: DataFrame,
+    config: EngineConfig,
+    offsets: list[int],
+    expected: list[int] | None = None,
 ) -> DataFrame:
     """corpus -> PACKED TOKENS_SCHEMA rows: one posting RUN per (term,
     input split) plus one doc-length sidecar row per (split, field) — the
@@ -337,7 +369,9 @@ def tokenize_corpus(
         from pyspark import TaskContext
 
         tok = ChunkTokenizer(specs)
-        next_ord = offsets[TaskContext.get().partitionId()]
+        pid = TaskContext.get().partitionId()
+        start_ord = offsets[pid]
+        next_ord = start_ord
         acc: dict[int, dict] = {}
         sent: dict[int, dict] = {}
         for rb in batches:
@@ -372,11 +406,138 @@ def tokenize_corpus(
                     sd = sent.setdefault(r["ford"], {"ord": [], "dl": []})
                     sd["ord"].append(d[first])
                     sd["dl"].append(r["dl"][first])
+        _check_partition_count(pid, next_ord - start_ord, expected)
         for ford in sorted(acc):
             yield _pack_field_runs(ford, acc[ford], tok.caches[ford])
             yield _pack_sentinel(ford, sent[ford])
 
     return corpus.select(*src_cols).mapInArrow(run, TOKENS_SCHEMA)
+
+
+#: DOCMAP sidecar rows: ford == -1 -> packed int64 ord -> doc_id array
+#: (ord order), ford == k >= 0 -> packed int32 per-doc lengths of field k,
+#: ford == -2 -> packed int64 TOMBSTONED ords (docs superseded by a later
+#: append; the evaluator filters them out of every posting list)
+DOCMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("ford", T.IntegerType(), False),
+        T.StructField("blk_seq", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+TOMBSTONE_FORD = -2
+
+#: docmap payload chunking — no parquet cell or eval allocation exceeds
+#: ~2 MB even for giant bands
+DOCMAP_CHUNK = 262_144
+
+
+def unpack_sidecar_dls(sent: DataFrame) -> DataFrame:
+    """kind-1 staging sidecar rows -> (ford, ord, value) rows: a tiny unpack
+    pass instead of a per-posting groupBy."""
+    unpack_schema = T.StructType(
+        [
+            T.StructField("ford", T.IntegerType(), False),
+            T.StructField("ord", T.LongType(), False),
+            T.StructField("value", T.LongType(), False),
+        ]
+    )
+
+    def unpack(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            idx = {f: i for i, f in enumerate(rb.schema.names)}
+            fords = rb.column(idx["ford"]).to_pylist()
+            obs_col = rb.column(idx["ord_bytes"]).to_pylist()
+            dls_col = rb.column(idx["dl_bytes"]).to_pylist()
+            for fo, ob, db in zip(fords, obs_col, dls_col):
+                ords = np.frombuffer(ob, dtype="<i8")
+                vals = np.frombuffer(db, dtype="<i4").astype(np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.full(len(ords), fo, dtype=np.int32), pa.int32()),
+                        pa.array(ords, pa.int64()),
+                        pa.array(vals, pa.int64()),
+                    ],
+                    names=["ford", "ord", "value"],
+                )
+
+    return sent.mapInArrow(unpack, unpack_schema)
+
+
+def docmap_rows(
+    docs_df: DataFrame, sent: DataFrame, ord_shift: int, end_ord: int
+) -> DataFrame:
+    """Per-band packed DOCMAP rows from a (ord, doc_id) docs slice and its
+    kind-1 staging sidecars.  Each band is a contiguous ord range starting
+    at ``band << ord_shift`` and filled densely up to ``end_ord`` — append
+    batches guarantee this by band-aligning their base ordinal."""
+    ids_part = docs_df.select(
+        F.lit(-1).alias("ford"), "ord", F.col("doc_id").alias("value")
+    )
+    dls_part = unpack_sidecar_dls(sent)
+    dm = ids_part.unionByName(dls_part).withColumn(
+        "band", F.shiftright("ord", ord_shift).cast("int")
+    )
+    _end, _shift = int(end_ord), int(ord_shift)
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        band, ford = int(key[0]), int(key[1])
+        band_start = band << _shift
+        band_n = min(_end - band_start, 1 << _shift)
+        o = pdf["ord"].to_numpy(np.int64)
+        vals = pdf["value"].to_numpy(np.int64)
+        if ford < 0:  # dense & complete: sort into ord order
+            arr = vals[np.argsort(o)].astype("<i8")
+        else:  # sparse per field: scatter into a dense int32 array
+            arr = np.zeros(band_n, dtype="<i4")
+            arr[o - band_start] = vals
+        rows = []
+        for seq, lo in enumerate(range(0, len(arr), DOCMAP_CHUNK)):
+            blk = arr[lo : lo + DOCMAP_CHUNK]
+            rows.append((band, ford, seq, len(blk), blk.tobytes()))
+        return pd.DataFrame(
+            rows, columns=["band", "ford", "blk_seq", "n", "payload"]
+        )
+
+    return dm.groupBy("band", "ford").applyInPandas(pack, DOCMAP_SCHEMA)
+
+
+def write_doc_stats(
+    cat: IndexCatalog, field_names: list[str], sum_dl: dict, n_docs: int
+) -> None:
+    """(Re)write the tiny per-field stats table driver-side with pyarrow —
+    a Spark job for 4 rows pays the createDataFrame warmup for nothing.
+    Appends rewrite it with updated N/avgdl (values are derivable from the
+    manifest: build base + committed delta sums, so a crash mid-write is
+    repaired by the next append/commit)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pathlib import Path as _Path
+
+    tbl = pa.table(
+        {
+            "field": pa.array(field_names, pa.string()),
+            "sum_dl": pa.array(
+                [int(sum_dl.get(fn, 0)) for fn in field_names], pa.int64()
+            ),
+            "n_docs": pa.array([n_docs] * len(field_names), pa.int64()),
+            "avgdl": pa.array(
+                [
+                    sum_dl.get(fn, 0) / n_docs if n_docs else 1.0
+                    for fn in field_names
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+    stats_dir = _Path(cat.path(IndexCatalog.DOC_STATS))
+    stats_dir.mkdir(parents=True, exist_ok=True)
+    pq.write_table(tbl, stats_dir / "part-00000.parquet")
 
 
 def _band_of(ords: np.ndarray, ord_shift: int) -> np.ndarray:
@@ -946,6 +1107,7 @@ def build_index(
                 *[c for c in meta_cols if c in corpus_with_ids.columns]
             ),
             offsets,
+            expected=expected_counts(offsets, n_docs),
         )
         docs_obs = Observation("docs")
         cat.write(docs.observe(docs_obs, F.count(F.lit(1)).alias("n")), IndexCatalog.DOCS)
@@ -965,7 +1127,10 @@ def build_index(
     field_names = [f.name for f in config.fields]
 
     def _staging_action():
-        tokens = tokenize_corpus(corpus_with_ids, config, offsets)
+        tokens = tokenize_corpus(
+            corpus_with_ids, config, offsets,
+            expected=expected_counts(offsets, n_docs),
+        )
         staged = tokens.withColumn(
             "bucket", F.pmod(F.col("term_id"), F.lit(config.n_term_buckets))
         )
@@ -1015,28 +1180,17 @@ def build_index(
                 .agg(F.sum("cf").alias("s"))
                 .collect()
             }
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pathlib import Path as _Path
-
-        tbl = pa.table(
-            {
-                "field": pa.array(field_names, pa.string()),
-                "sum_dl": pa.array([int(sum_dl.get(fn, 0)) for fn in field_names], pa.int64()),
-                "n_docs": pa.array([n_docs] * len(field_names), pa.int64()),
-                "avgdl": pa.array(
-                    [sum_dl.get(fn, 0) / n_docs if n_docs else 1.0 for fn in field_names],
-                    pa.float64(),
-                ),
-            }
-        )
-        stats_dir = _Path(cat.path(IndexCatalog.DOC_STATS))
-        stats_dir.mkdir(parents=True, exist_ok=True)
-        pq.write_table(tbl, stats_dir / "part-00000.parquet")
+        write_doc_stats(cat, field_names, sum_dl, n_docs)
         cat.commit_stage("doc_stats")
 
     stats_rows = spark.read.parquet(cat.path(IndexCatalog.DOC_STATS)).collect()
     avgdl = {r["field"]: float(r["avgdl"]) for r in stats_rows}
+    # pin the avgdl the postings blocks' max_norm is ENCODED with: appends
+    # keep encoding with this constant while the live avgdl drifts, and the
+    # evaluator applies a per-field safety factor max(1, live/encoded) to
+    # its block-max bounds so pruning stays exact under drift
+    if cat.get_meta("encode_avgdl") is None:
+        cat.set_meta("encode_avgdl", avgdl)
 
     # -- stage 3b: DOCMAP — per-band ord -> doc_id arrays + dl sidecars ----
     # ford = -1 rows carry the band's packed int64 doc_ids (ord order);
@@ -1049,84 +1203,13 @@ def build_index(
         docs_df = spark.read.parquet(cat.path(IndexCatalog.DOCS)).select(
             "ord", "doc_id"
         )
-        ids_part = docs_df.select(
-            F.lit(-1).alias("ford"), "ord", F.col("doc_id").alias("value")
-        )
-        # per-doc field lengths come from the kind-1 sidecar rows (one per
-        # (split, field)): a tiny unpack pass instead of a 73M-row groupBy
         sent = (
             spark.read.parquet(cat.path(IndexCatalog.STAGING))
             .where(F.col("kind") == 1)
             .select("ford", "ord_bytes", "dl_bytes")
         )
-        unpack_schema = T.StructType(
-            [
-                T.StructField("ford", T.IntegerType(), False),
-                T.StructField("ord", T.LongType(), False),
-                T.StructField("value", T.LongType(), False),
-            ]
-        )
-
-        def unpack_sidecars(batches):
-            import pyarrow as pa
-
-            for rb in batches:
-                idx = {f: i for i, f in enumerate(rb.schema.names)}
-                fords = rb.column(idx["ford"]).to_pylist()
-                obs_col = rb.column(idx["ord_bytes"]).to_pylist()
-                dls_col = rb.column(idx["dl_bytes"]).to_pylist()
-                for fo, ob, db in zip(fords, obs_col, dls_col):
-                    ords = np.frombuffer(ob, dtype="<i8")
-                    vals = np.frombuffer(db, dtype="<i4").astype(np.int64)
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            pa.array(
-                                np.full(len(ords), fo, dtype=np.int32),
-                                pa.int32(),
-                            ),
-                            pa.array(ords, pa.int64()),
-                            pa.array(vals, pa.int64()),
-                        ],
-                        names=["ford", "ord", "value"],
-                    )
-
-        dls_part = sent.mapInArrow(unpack_sidecars, unpack_schema)
-        dm = ids_part.unionByName(dls_part).withColumn(
-            "band", F.shiftright("ord", ord_shift).cast("int")
-        )
-        docmap_chunk = 262_144
-        _n_docs, _shift = int(n_docs), int(ord_shift)
-
-        def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            band, ford = int(key[0]), int(key[1])
-            band_start = band << _shift
-            band_n = min(_n_docs - band_start, 1 << _shift)
-            o = pdf["ord"].to_numpy(np.int64)
-            vals = pdf["value"].to_numpy(np.int64)
-            if ford < 0:  # dense & complete: sort into ord order
-                arr = vals[np.argsort(o)].astype("<i8")
-            else:  # sparse per field: scatter into a dense int32 array
-                arr = np.zeros(band_n, dtype="<i4")
-                arr[o - band_start] = vals
-            rows = []
-            for seq, lo in enumerate(range(0, len(arr), docmap_chunk)):
-                blk = arr[lo : lo + docmap_chunk]
-                rows.append((band, ford, seq, len(blk), blk.tobytes()))
-            return pd.DataFrame(
-                rows, columns=["band", "ford", "blk_seq", "n", "payload"]
-            )
-
-        dm_schema = T.StructType(
-            [
-                T.StructField("band", T.IntegerType(), False),
-                T.StructField("ford", T.IntegerType(), False),
-                T.StructField("blk_seq", T.IntegerType(), False),
-                T.StructField("n", T.IntegerType(), False),
-                T.StructField("payload", T.BinaryType(), False),
-            ]
-        )
         cat.write(
-            dm.groupBy("band", "ford").applyInPandas(pack, dm_schema),
+            docmap_rows(docs_df, sent, int(ord_shift), int(n_docs)),
             IndexCatalog.DOCMAP,
         )
 

@@ -78,6 +78,18 @@ class IndexReader:
 
         self.ord_bits = int(self.cat.get_meta("ord_bits", ord_bits_of(self.n_docs)))
         self.ord_shift = max(self.ord_bits - self.band_bits, 0)
+        #: appends since the build: main tables are read through union views
+        #: (operators/index_append.py) until a compaction folds them in
+        self.has_deltas = bool(self.cat.deltas())
+        #: block-max bounds are encoded with the BUILD-TIME avgdl; appends
+        #: drift the live avgdl, and tf_norm is monotone in avgdl with
+        #: ratio <= live/encoded — multiplying bounds by this per-field
+        #: factor keeps dynamic pruning exact under drift
+        enc = self.cat.get_meta("encode_avgdl") or {}
+        self.norm_safety = {
+            f: max(1.0, v / float(enc[f])) if enc.get(f) else 1.0
+            for f, v in self.avgdl.items()
+        }
         #: compile_queries results per (categories, config) — the index a
         #: reader points at is immutable, so expansions/df never go stale
         #: (mirrors the reference's static parsed-query cache,
@@ -111,27 +123,64 @@ class IndexReader:
         is ~|vocab| rows (executors cache their slices; spills to disk at
         real vocabulary scale)."""
         if not hasattr(self, "_dictionary_df"):
-            self._dictionary_df = self.cat.read(
-                self.spark, IndexCatalog.DICTIONARY
-            ).persist()
+            if self.has_deltas:
+                from ds_discovery_opensearch_taxonomy_spark.operators import (
+                    index_append,
+                )
+
+                df = index_append.dictionary_view(
+                    self.spark, self.cat, self.config
+                )
+            else:
+                df = self.cat.read(self.spark, IndexCatalog.DICTIONARY)
+            self._dictionary_df = df.persist()
         return self._dictionary_df
 
     def postings(self) -> DataFrame:
+        if self.has_deltas:
+            from ds_discovery_opensearch_taxonomy_spark.operators import (
+                index_append,
+            )
+
+            return index_append.postings_view(self.spark, self.cat)
         return self.cat.read(self.spark, IndexCatalog.POSTINGS)
 
     def docs(self) -> DataFrame:
+        if self.has_deltas:
+            from ds_discovery_opensearch_taxonomy_spark.operators import (
+                index_append,
+            )
+
+            return index_append.docs_view(self.spark, self.cat)
         return self.spark.read.parquet(self.cat.path(IndexCatalog.DOCS))
 
     def docmap(self) -> DataFrame:
         """Per-band packed sidecars (band, ford, blk_seq, n, payload):
         ford == -1 rows hold ord -> doc_id arrays, ford == k rows field k's
-        per-doc lengths.  Persisted per reader — every query run ships
-        these into its eval tasks, and the table is ~16 bytes/doc."""
+        per-doc lengths, ford == -2 tombstoned ords (appends).  Persisted
+        per reader — every query run ships these into its eval tasks, and
+        the table is ~16 bytes/doc."""
         if not hasattr(self, "_docmap_df"):
-            self._docmap_df = self.spark.read.parquet(
-                self.cat.path(IndexCatalog.DOCMAP)
-            ).persist()
+            if self.has_deltas:
+                from ds_discovery_opensearch_taxonomy_spark.operators import (
+                    index_append,
+                )
+
+                df = index_append.docmap_view(self.spark, self.cat)
+            else:
+                df = self.spark.read.parquet(self.cat.path(IndexCatalog.DOCMAP))
+            self._docmap_df = df.persist()
         return self._docmap_df
+
+    def unpersist(self) -> None:
+        """Release this reader's cached tables (engine.refresh())."""
+        for attr in ("_dictionary_df", "_docmap_df"):
+            df = getattr(self, attr, None)
+            if df is not None:
+                df.unpersist()
+        for df in self._virtual_cache.values():
+            df.unpersist()
+        self._virtual_cache.clear()
 
     # -- dictionary expansion -------------------------------------------------
 
@@ -811,7 +860,9 @@ class _Evaluator:
     def __init__(self, rows_by_term: dict, df_map: dict, n_docs: float,
                  k1: float, b: float, avgdl: dict, scored: bool, needs_pos: bool,
                  tid_map: dict | None = None,
-                 dl_by_field: dict | None = None, band_start: int = 0):
+                 dl_by_field: dict | None = None, band_start: int = 0,
+                 dead: np.ndarray | None = None,
+                 norm_safety: dict | None = None):
         # rows_by_term is keyed by term_id (numeric postings key); tid_map
         # translates the AST's (field, term) to it.  Virtual doc sets arrive
         # as ordinary rows under their ``(__virtual__, key)`` term_id.
@@ -829,6 +880,35 @@ class _Evaluator:
         #: indexed by ord - band_start
         self.dl_by_field = dl_by_field or {}
         self.band_start = np.int64(band_start)
+        #: sorted TOMBSTONED ords of this band (docs superseded by appends) —
+        #: dropped from every decoded posting list BEFORE scoring/top-k
+        self.dead = dead if dead is not None and len(dead) else None
+        #: per-field block-max inflation covering avgdl drift since encode
+        self.norm_safety = norm_safety or {}
+
+    def _decode(self, rows: pd.DataFrame) -> _TermData:
+        """Decode + tombstone-filter one term's blocks (all decode paths
+        come through here so dead ords can never reach scoring or top-k)."""
+        td = _decode_rows(rows, self.needs_pos)
+        dead = self.dead
+        if dead is None or len(td.ids) == 0:
+            return td
+        idx = np.searchsorted(dead, td.ids)
+        hit = dead[np.minimum(idx, len(dead) - 1)] == td.ids
+        if not hit.any():
+            return td
+        keep = ~hit
+        po, pf = td.pos_offsets, td.pos_flat
+        if po is not None:
+            from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
+                _ragged_gather,
+            )
+
+            lens = np.diff(po)
+            klens = lens[keep]
+            pf = pf[_ragged_gather(po[:-1][keep], klens.astype(np.int64))]
+            po = np.concatenate([[0], np.cumsum(klens)]).astype(np.int64)
+        return _TermData(td.ids[keep], td.tfs[keep], po, pf)
 
     def _dls(self, field: str, ids: np.ndarray) -> np.ndarray:
         """Per-doc lengths of ``field`` for the given ords (norms lookup)."""
@@ -843,18 +923,23 @@ class _Evaluator:
             return None
         td = self.terms.get(key)
         if td is None and key in self.rows_by_term:
-            td = _decode_rows(self.rows_by_term[key], self.needs_pos)
+            td = self._decode(self.rows_by_term[key])
             self.terms[key] = td
         return td
 
     def _term_ub(self, field: str, term: str) -> float:
         """Block-max upper bound for one term — from metadata, no decode.
         Blocks carry the df-independent ``max_norm``; idf folds in here
-        from the dictionary's global df (df_map)."""
+        from the dictionary's global df (df_map).  ``norm_safety`` covers
+        avgdl drift since block encode (appends)."""
         rows = self.rows_by_term.get(self.tid_map.get((field, term)))
         if rows is None:
             return 0.0
-        return self._idf(field, term) * float(rows["max_norm"].max())
+        return (
+            self._idf(field, term)
+            * float(rows["max_norm"].max())
+            * self.norm_safety.get(field, 1.0)
+        )
 
     def _clause_ub(self, node: qp.Node) -> float:
         """Max possible BM25 contribution of a SHOULD clause."""
@@ -972,12 +1057,13 @@ class _Evaluator:
                 rows["min_docid"].to_numpy() <= hi
             )
             # block-max test: can this block lift ANY candidate over theta?
-            # per-block ub = idf * max_norm (idf from the global dictionary)
+            # per-block ub = idf * max_norm * drift safety (see _term_ub)
             idf_t = self._idf(node.field, node.term)
-            keep &= (max_acc + idf_t * rows["max_norm"].to_numpy() + (rest - self._term_ub(node.field, node.term))) >= theta
+            safety = self.norm_safety.get(node.field, 1.0)
+            keep &= (max_acc + idf_t * safety * rows["max_norm"].to_numpy() + (rest - self._term_ub(node.field, node.term))) >= theta
             if not keep.any():
                 return _EMPTY, _EMPTY
-            td = _decode_rows(rows[keep], self.needs_pos)
+            td = self._decode(rows[keep])
             sc = self._idf(node.field, node.term) * scoring.tf_norm(
                 td.tfs.astype(np.float64), self._dls(node.field, td.ids),
                 self.avgdl[node.field], self.k1, self.b,
@@ -1314,8 +1400,9 @@ def run_categories(
     # (payload rides the ``docids`` column; ordering by blk_seq)
     dmap = reader.docmap()
     if not scored:
-        # dl sidecars (ford >= 0) are only read by BM25 length norms
-        dmap = dmap.where(F.col("ford") == -1)
+        # dl sidecars (ford >= 0) are only read by BM25 length norms;
+        # ord->doc_id (-1) and tombstones (-2) are needed in every mode
+        dmap = dmap.where(F.col("ford") < 0)
     dmap = dmap.select(
         F.lit(DOCMAP_TID).alias("term_id"),
         F.col("ford").alias("salt"),  # sidecar kind rides the salt column
@@ -1350,6 +1437,7 @@ def run_categories(
 
     n_docs = float(reader.n_docs)
     avgdl = dict(reader.avgdl)
+    norm_safety = dict(reader.norm_safety)
     ord_shift = reader.ord_shift
     k1, b = config.k1, config.b
     field_names = [f.name for f in config.fields]
@@ -1374,11 +1462,16 @@ def run_categories(
         dm_rows = rows_by_term.pop(DOCMAP_TID, None)
         band_start = np.int64(band) << np.int64(ord_shift)
         ordmap = None
+        dead = None
         dl_by_field: dict[str, np.ndarray] = {}
         if dm_rows is not None:
             for ford_v, gr in dm_rows.groupby("salt", sort=False):
                 buf = b"".join(gr.sort_values("blk_seq")["docids"])
-                if int(ford_v) < 0:
+                if int(ford_v) == -2:
+                    # tombstoned ords: one payload per append batch touching
+                    # this band; unique() sorts + dedups the union
+                    dead = np.unique(np.frombuffer(buf, dtype="<i8"))
+                elif int(ford_v) < 0:
                     ordmap = np.frombuffer(buf, dtype="<i8")
                 else:
                     dl_by_field[field_names_b.value[int(ford_v)]] = (
@@ -1387,6 +1480,7 @@ def run_categories(
         ev = _Evaluator(
             rows_by_term, df_map_b.value, n_docs, k1, b, avgdl, scored,
             needs_pos, tid_map_b.value, dl_by_field, int(band_start),
+            dead=dead, norm_safety=norm_safety,
         )
         tid_map = tid_map_b.value
         n_by_term = {t: int(rows["n"].sum()) for t, rows in rows_by_term.items()}

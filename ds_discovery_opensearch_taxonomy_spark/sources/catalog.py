@@ -30,6 +30,14 @@ class IndexCatalog:
     DOC_STATS = "doc_stats"
     STAGING = "staging"
     RESULTS = "results"
+    #: incremental-append tables, one ``batch=<seq>`` partition per
+    #: committed append (operators/index_append.py); readers union them
+    #: with the main tables until a compaction folds them in
+    DELTA_BLOCKS = "delta/blocks"
+    DELTA_DOCS = "delta/docs"
+    DELTA_DICTIONARY = "delta/dictionary"
+    DELTA_DOCMAP = "delta/docmap"
+    DELTA_STAGING = "delta/staging"
 
     def __init__(self, root: str | Path):
         self.root = Path(root)
@@ -88,10 +96,58 @@ class IndexCatalog:
         m = self.manifest()
         return "docs" in m["stages"] and len(m["buckets"]) >= n_buckets
 
+    # -- incremental appends (delta batches) ---------------------------------
+
+    def deltas(self) -> dict:
+        """{batch_key: {"seq": int, "n_docs": ..., ...}} — committed appends."""
+        return self.manifest().get("deltas", {})
+
+    def delta_seqs(self) -> list[int]:
+        return sorted(int(d["seq"]) for d in self.deltas().values())
+
+    def next_delta_seq(self) -> int:
+        """Monotone across compactions: compacted delta rows keep their
+        per-batch salts inside the main postings table, so a reused seq
+        would collide salts and break the concatenation decode order."""
+        m = self.manifest()
+        from_meta = int(m.get("meta", {}).get("next_delta_seq", 0))
+        from_deltas = (
+            max(
+                (int(d["seq"]) for d in m.get("deltas", {}).values()),
+                default=-1,
+            )
+            + 1
+        )
+        return max(from_meta, from_deltas)
+
+    def commit_delta(self, key: str, metrics: dict) -> None:
+        m = self.manifest()
+        m.setdefault("deltas", {})[key] = {"ts": time.time(), **metrics}
+        m.setdefault("meta", {})["next_delta_seq"] = int(metrics["seq"]) + 1
+        self._write_manifest(m)
+
+    def clear_deltas(self, gen_updates: dict[str, int]) -> None:
+        """ONE atomic manifest write: bump table generations to the
+        compacted dirs AND drop the delta list — a crash before this leaves
+        the old main+delta view live; after it, the compacted view."""
+        m = self.manifest()
+        m["deltas"] = {}
+        m.setdefault("meta", {}).setdefault("gen", {}).update(
+            {t: int(g) for t, g in gen_updates.items()}
+        )
+        self._write_manifest(m)
+
     # -- tables ----------------------------------------------------------------
 
+    def _resolve(self, table: str) -> str:
+        """Physical dir of a table: compactions commit by bumping the
+        table's generation in the manifest (``<table>__g<N>``), so readers
+        flip atomically with the manifest write."""
+        gen = self.manifest().get("meta", {}).get("gen", {}).get(table)
+        return table if gen is None else f"{table}__g{int(gen)}"
+
     def path(self, table: str, bucket: int | None = None) -> str:
-        p = self.root / table
+        p = self.root / self._resolve(table)
         if bucket is not None:
             p = p / f"bucket={bucket}"
         return str(p)
@@ -110,7 +166,7 @@ class IndexCatalog:
         w.parquet(self.path(table, bucket))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        p = self.root / table
+        p = self.root / self._resolve(table)
         if table in (self.POSTINGS, self.DICTIONARY) and not (p / "_SUCCESS").exists():
             # bucket-partitioned directory tree, written bucket-at-a-time;
             # enumerate real dirs (a literal "bucket=*" glob path makes
@@ -126,5 +182,5 @@ class IndexCatalog:
         return spark.read.parquet(str(p))
 
     def table_bytes(self, table: str) -> int:
-        p = self.root / table
+        p = self.root / self._resolve(table)
         return sum(f.stat().st_size for f in p.rglob("*.parquet")) if p.exists() else 0

@@ -409,17 +409,27 @@ def start_incremental(
     engine: TaxonomyEngine,
     stream_df: DataFrame,
     checkpoint_dir: str,
+    update_index: bool = True,
 ):
-    """readStream(corpus rows) → foreachBatch(categorise + merge).
+    """readStream(corpus rows) → foreachBatch(categorise + merge + index
+    append).
 
     ``stream_df`` is any streaming DataFrame with the corpus schema (files
-    source, Kafka after parsing, etc.)."""
+    source, Kafka after parsing, etc.).  With ``update_index`` (default)
+    each micro-batch is ALSO appended to the persistent index
+    (operators/index_append.py), so streamed/updated docs become
+    immediately searchable — the reference's daily update lands in the
+    LIVE OpenSearch index (OpenSearchIAViewUpdateRepository.cs:32-70).
+    Appends are idempotent by batch_id, so at-least-once foreachBatch
+    replays after a crash cannot double-ingest."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         per_doc = categorise_batch(engine, batch_df)
         engine.save_results(per_doc)
+        if update_index:
+            engine.append_docs(batch_df, batch_key=f"stream-{batch_id}")
 
     return (
         stream_df.writeStream.foreachBatch(process)

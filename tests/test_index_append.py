@@ -1,0 +1,228 @@
+"""Incremental index maintenance: appended docs become searchable in the
+LIVE index with exact match/score parity; updated docs supersede their old
+version; compaction folds deltas without changing results.
+
+Reference contract: daily-update docs land in the live OpenSearch index
+(OpenSearchIAViewUpdateRepository.cs:32-70)."""
+
+import math
+
+import pytest
+
+from ds_discovery_opensearch_taxonomy_spark.config import EngineConfig
+from ds_discovery_opensearch_taxonomy_spark.engine import TaxonomyEngine
+from ds_discovery_opensearch_taxonomy_spark.operators.index_build import build_index
+from ds_discovery_opensearch_taxonomy_spark.operators.oracle import (
+    OracleIndex,
+    build_oracle_doc,
+)
+from ds_discovery_opensearch_taxonomy_spark.operators.search import run_categories
+from ds_discovery_opensearch_taxonomy_spark.sources.corpus import (
+    load_categories,
+    synthesize_corpus,
+    with_doc_ids,
+)
+
+TEST_CONFIG = EngineConfig(
+    n_term_buckets=4,
+    salt_target_postings=64,
+    max_salts=8,
+    n_eval_bands=2,
+)
+
+N_BASE = 300
+N_FULL = 400
+
+QUERIES = [
+    ("Q_BOOL", '"women" AND "suffrage" NOT "chartism"'),
+    ("Q_PHRASE", '"votes for women"'),
+    ("Q_WILD", "suffrag* OR ration*"),
+    ("Q_RANGE", "women AND SOURCE:[0 TO 60]"),
+    ("Q_FUZZY", "sufrage~1"),
+]
+
+
+@pytest.fixture(scope="module")
+def appended(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("index_append")
+    # synthesize_corpus is deterministic in the row index, so n=300 IS the
+    # first 300 rows of n=400 — the appended slice is exactly rows 300-399
+    base = with_doc_ids(synthesize_corpus(spark, N_BASE))
+    full = with_doc_ids(synthesize_corpus(spark, N_FULL))
+    build_index(spark, base, str(out), TEST_CONFIG)
+    eng = TaxonomyEngine(spark, str(out), TEST_CONFIG)
+    extra = full.join(base.select("doc_id"), "doc_id", "left_anti")
+    m1 = eng.append_docs(extra, batch_key="b1")
+    assert m1 is not None and m1["n_docs"] == N_FULL - N_BASE
+    rows = [r.asDict() for r in full.collect()]
+    oracle = OracleIndex(
+        [
+            build_oracle_doc(
+                r["doc_id"], r, TEST_CONFIG,
+                doc_ref=f'{r["repo"]}/{r["path"]}/{r["commit"]}',
+            )
+            for r in rows
+        ],
+        TEST_CONFIG,
+    )
+    return eng, oracle, rows
+
+
+def _parity(spark, eng, oracle, queries, scored, top_k=None):
+    from ds_discovery_opensearch_taxonomy_spark.plans.queryparser import parse_query
+
+    results = run_categories(
+        spark, eng.reader, queries, scored=scored, top_k=top_k
+    ).collect()
+    got: dict[str, dict[int, float]] = {}
+    for r in results:
+        got.setdefault(r["category_id"], {})[r["doc_id"]] = r["score"]
+    for cid, qtext in queries:
+        node = parse_query(qtext, TEST_CONFIG)
+        expected = oracle.matching_docs(node)
+        if top_k is not None:
+            expected = expected[:top_k]
+        expected = dict(expected)
+        g = got.get(cid, {})
+        assert set(g) == set(expected), (
+            f"{cid}: engine={len(g)} oracle={len(expected)} "
+            f"only_engine={list(set(g) - set(expected))[:5]} "
+            f"only_oracle={list(set(expected) - set(g))[:5]}"
+        )
+        if scored:
+            for d, s in expected.items():
+                assert math.isclose(g[d], s, rel_tol=1e-9, abs_tol=1e-12), (
+                    f"{cid} doc {d}: engine={g[d]} oracle={s}"
+                )
+
+
+def test_appended_docs_score_parity(appended, spark):
+    """After a pure append, match sets AND BM25 scores over the live index
+    equal the oracle over the FULL corpus — df, n_docs and avgdl all fold
+    the appended docs in."""
+    eng, oracle, _ = appended
+    _parity(spark, eng, oracle, QUERIES, scored=True)
+
+
+def test_appended_docs_topk_parity(appended, spark):
+    """Top-k with block-max pruning stays exact under appended generations
+    (norm-safety factor covers the avgdl drift since block encode)."""
+    eng, oracle, _ = appended
+    _parity(spark, eng, oracle, QUERIES, scored=True, top_k=5)
+
+
+def test_appended_reference_categories(appended, spark):
+    """A representative slice of the real 136-category fixture is exact
+    over the appended index."""
+    eng, oracle, _ = appended
+    cats = load_categories()
+    chosen = [
+        (c["category_id"], c["query_text"])
+        for c in cats
+        if c["title"] in ("Air Force", "Votes for women", "Rationing")
+    ]
+    _parity(spark, eng, oracle, chosen, scored=True)
+
+
+def test_append_replay_is_noop(appended, spark):
+    eng, _, _ = appended
+    extra = with_doc_ids(synthesize_corpus(spark, N_FULL)).limit(5)
+    assert eng.append_docs(extra, batch_key="b1") is None
+    assert eng.reader.docs().count() == N_FULL
+
+
+def test_live_stats_updated(appended):
+    eng, _, _ = appended
+    assert eng.reader.n_docs == N_FULL
+    assert all(f >= 1.0 for f in eng.reader.norm_safety.values())
+
+
+def test_update_supersedes_old_version(spark, tmp_path_factory):
+    """Re-ingesting an existing doc_id tombstones the old ordinal: the old
+    content stops matching, the new content matches, and the doc appears
+    exactly once in the live docs view."""
+    out = tmp_path_factory.mktemp("index_update")
+    base = with_doc_ids(synthesize_corpus(spark, 60))
+    build_index(spark, base, str(out), TEST_CONFIG)
+    eng = TaxonomyEngine(spark, str(out), TEST_CONFIG)
+    row = base.orderBy("doc_id").limit(1).collect()[0].asDict()
+    updated = dict(row, content="zanzibar expedition quarterly ledger")
+    upd_df = with_doc_ids(
+        spark.createDataFrame(
+            [
+                (
+                    updated["repo"], updated["path"], updated["commit"],
+                    updated["lang"], updated["content"],
+                )
+            ],
+            "repo string, path string, commit string, lang string, content string",
+        )
+    )
+    assert upd_df.first()["doc_id"] == row["doc_id"]  # same identity
+    m = eng.append_docs(upd_df, batch_key="upd")
+    assert m is not None
+    # new content matches
+    res = run_categories(
+        spark, eng.reader, [("NEW", '"zanzibar" AND "ledger"')], scored=False
+    ).collect()
+    assert [r["doc_id"] for r in res] == [row["doc_id"]]
+    # old content no longer matches: use a phrase from the old content
+    words = row["content"].split()
+    old_phrase = " ".join(words[:3])
+    res_old = run_categories(
+        spark, eng.reader, [("OLD", f'"{old_phrase}"')], scored=False
+    ).collect()
+    assert row["doc_id"] not in {r["doc_id"] for r in res_old}
+    # exactly one live version
+    assert (
+        eng.reader.docs().where(f"doc_id = {row['doc_id']}").count() == 1
+    )
+    assert eng.reader.docs().count() == 60
+    # update arrives via categorise_all too (A1: every live doc seeded)
+    assert eng.categorise_all().count() == 60
+
+
+def test_compaction_preserves_results(appended, spark):
+    """compact() folds every delta into generation-versioned main tables:
+    same match/score results, no delta batches left, delta dirs gone."""
+    eng, oracle, _ = appended
+    before = {
+        (r["category_id"], r["doc_id"]): r["score"]
+        for r in run_categories(
+            spark, eng.reader, QUERIES, scored=True
+        ).collect()
+    }
+    out = eng.compact()
+    assert out is not None and out["batches_compacted"] >= 1
+    assert not eng.reader.cat.deltas()
+    assert not (eng.reader.cat.root / "delta").exists() or not any(
+        (eng.reader.cat.root / "delta").rglob("*.parquet")
+    )
+    after = {
+        (r["category_id"], r["doc_id"]): r["score"]
+        for r in run_categories(
+            spark, eng.reader, QUERIES, scored=True
+        ).collect()
+    }
+    assert before == after
+    # still exact vs the oracle, and a further append still works
+    _parity(spark, eng, oracle, QUERIES[:2], scored=True)
+    assert eng.compact() is None  # nothing left to compact
+
+
+def test_alignment_guard_rejects_partition_drift(spark):
+    """The dense-ord contract guard: a pass observing different
+    per-partition counts than the offsets pass fails LOUDLY instead of
+    silently mis-assigning ords (VERDICT r2 item 5)."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from ds_discovery_opensearch_taxonomy_spark.operators.index_build import (
+        attach_ords,
+    )
+
+    df = spark.range(0, 100, 1, 4).selectExpr("id as doc_id")
+    ok = attach_ords(df, [0, 25, 50, 75], expected=[25, 25, 25, 25])
+    assert ok.count() == 100
+    bad = attach_ords(df, [0, 25, 50, 75], expected=[30, 20, 25, 25])
+    with pytest.raises(PythonException, match="partition"):
+        bad.count()

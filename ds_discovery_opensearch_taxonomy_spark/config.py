@@ -96,6 +96,12 @@ class EngineConfig:
     #: time (1 in local tests; O(#executors) on a cluster).
     n_eval_bands: int = 1
 
+    #: optional per-construct cap on DISTRIBUTED wildcard/term-range
+    #: expansions (deterministic keep: term_id asc; truncation is logged) —
+    #: Lucene's maxClauseCount analogue for the constant-score rewrite.
+    #: None (default) expands exactly, matching reference semantics.
+    max_term_expansions: int | None = None
+
     #: categories evaluated per (chunk, band) task — a chunk's categories
     #: share one decoded-postings cache, and a term shared by the chunk's
     #: categories ships through the eval shuffle once per CHUNK.  Eval

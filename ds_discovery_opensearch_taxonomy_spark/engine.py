@@ -342,7 +342,9 @@ class _GlobalStatsOracle(OracleIndex):
     def evaluate(self, node, doc):  # wildcard/ranges arrive pre-expanded
         if isinstance(node, search_ops.ExpandedTermsNode):
             doc_terms = doc.fields.get(node.field, {})
-            hit = any(t in doc_terms for t in node.terms)
+            # distributed expansions carry no term list (terms=None) — the
+            # source-construct fallback below re-expands per doc
+            hit = any(t in doc_terms for t in (node.terms or ()))
             if not hit and node.source is not None:
                 # ad-hoc docs may contain matching terms the index never saw
                 self.terms_by_field = {node.field: sorted(doc_terms)}

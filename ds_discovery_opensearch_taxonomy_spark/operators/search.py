@@ -114,6 +114,11 @@ class IndexReader:
         #: so each clause pays its docs-table scan once per reader, not once
         #: per query run
         self._virtual_cache: dict = {}
+        #: repr(construct) -> ExpansionInfo: DISTRIBUTED wildcard/term-range
+        #: expansions (term_id DataFrame + bounded driver stats), cached per
+        #: reader — see expand_constructs
+        self.expansion_cache: dict[str, ExpansionInfo] = {}
+        self._expansion_persists: list = []
 
     # -- tables -------------------------------------------------------------
 
@@ -181,6 +186,10 @@ class IndexReader:
         for df in self._virtual_cache.values():
             df.unpersist()
         self._virtual_cache.clear()
+        for df in self._expansion_persists:
+            df.unpersist()
+        self._expansion_persists.clear()
+        self.expansion_cache.clear()
 
     # -- dictionary expansion -------------------------------------------------
 
@@ -196,42 +205,148 @@ class IndexReader:
                 out.append(re_escape_java(ch))
         return "^" + "".join(out) + "$"
 
+    @staticmethod
+    def construct_condition(node: qp.Node):
+        """Dictionary-row predicate of a multi-term construct (wildcard /
+        term range).  Regex only where string ops can't answer: a Java
+        regex match costs ~100x a startswith, and constructs x |vocab| row
+        evals dominate compile time — ``abc*`` -> startswith; any literal
+        prefix short-circuits the regex for the non-matching bulk."""
+        if isinstance(node, qp.WildcardNode):
+            pat = node.pattern
+            head = re.match(r"[^*?]*", pat).group(0)
+            c = F.col("field") == node.field
+            if head == pat:  # no wildcard chars: exact equality
+                return c & (F.col("term") == pat)
+            if pat == head + "*":
+                return c & F.col("term").startswith(head)
+            if head:
+                c = c & F.col("term").startswith(head)
+            return c & F.col("term").rlike(
+                IndexReader._wildcard_to_java_regex(pat)
+            )
+        if isinstance(node, qp.TermRangeNode):
+            c = F.col("field") == node.field
+            if node.lo is not None:
+                c = c & (
+                    F.col("term") >= node.lo
+                    if node.inc_lo
+                    else F.col("term") > node.lo
+                )
+            if node.hi is not None:
+                c = c & (
+                    F.col("term") <= node.hi
+                    if node.inc_hi
+                    else F.col("term") < node.hi
+                )
+            return c
+        raise TypeError(type(node))  # pragma: no cover
+
+    def expand_constructs(
+        self, nodes: set[qp.Node], config: EngineConfig
+    ) -> dict[str, "ExpansionInfo"]:
+        """DISTRIBUTED wildcard / term-range expansion — the matching terms
+        NEVER collect to the driver (Lucene enumerates matching terms
+        segment-side; a leading ``c*`` on a 10^12-file corpus can match
+        10^8-10^9 vocabulary terms, a multi-GB collect in the round-2
+        design).  One dictionary scan per compile tags each matching row
+        with every construct it matched (one row per (term, construct) —
+        overlapping patterns each get the term); the per-construct slices
+        persist per reader (the index snapshot is immutable), and the
+        driver sees only BOUNDED aggregates: per-construct match count +
+        hosting-bucket set (<= n_term_buckets values).
+
+        ``config.max_term_expansions`` optionally caps each construct
+        (deterministic keep: term_id asc) with a logged truncation —
+        Lucene's maxClauseCount analogue for the constant-score rewrite;
+        default None preserves exact reference semantics."""
+        missing = sorted(
+            {n for n in nodes if repr(n) not in self.expansion_cache},
+            key=repr,
+        )
+        if missing:
+            tagged = []
+            conds = None
+            for node in missing:
+                c = self.construct_condition(node)
+                tagged.append(F.when(c, F.lit(repr(node))))
+                conds = c if conds is None else (conds | c)
+            exp = (
+                self.dictionary()
+                .where(conds)
+                .select(
+                    "term_id",
+                    "bucket",
+                    F.explode(F.array_compact(F.array(*tagged))).alias("ckey"),
+                )
+            )
+            cap = getattr(config, "max_term_expansions", None)
+            if cap:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("ckey").orderBy("term_id")
+                exp = (
+                    exp.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") <= int(cap))
+                    .drop("_rn")
+                )
+            exp = exp.persist()
+            self._expansion_persists.append(exp)
+            # driver-side rows are BOUNDED: one per construct (counts +
+            # distinct buckets), never one per matching term
+            stats = {
+                r["ckey"]: (int(r["n"]), tuple(sorted(r["buckets"])))
+                for r in exp.groupBy("ckey")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.collect_set("bucket").alias("buckets"),
+                )
+                .collect()
+            }
+            import logging
+
+            log = logging.getLogger(__name__)
+            for node in missing:
+                ckey = repr(node)
+                n, buckets = stats.get(ckey, (0, ()))
+                if cap and n >= int(cap):
+                    log.warning(
+                        "construct %s expansion truncated at %d terms "
+                        "(max_term_expansions)", ckey, n,
+                    )
+                self.expansion_cache[ckey] = ExpansionInfo(
+                    df=exp.where(F.col("ckey") == ckey).select("term_id"),
+                    n_terms=n,
+                    buckets=buckets,
+                )
+        return {repr(n): self.expansion_cache[repr(n)] for n in nodes}
+
     def lookup_dictionary(
         self,
         exact: set[tuple[str, str]],
-        patterns: set[tuple[str, str]],
-        ranges: set[qp.TermRangeNode],
         fuzzies: set[qp.FuzzyNode],
-    ) -> tuple[dict, dict, dict, dict, dict, dict]:
-        """ONE dictionary job serving every compile-time lookup: exact-term
-        df/bucket/term_id fetch, wildcard expansion, term-range expansion,
-        and fuzzy expansion.  Compile latency is job-count-bound (each Spark
-        job costs ~1-3 s of fixed scheduling/codegen before any data moves),
-        so the four lookups share a single scan: one OR-of-conditions filter
-        gates the rows, a when-array explode tags each row with EVERY
-        construct it matched, and the collected rows carry df/bucket/term_id
-        so no second fetch pass is needed.
+    ) -> tuple[dict, dict, dict, dict]:
+        """ONE dictionary job serving the BOUNDED compile-time lookups:
+        exact-term df/bucket/term_id fetch and fuzzy expansion.  (Wildcard /
+        term-range constructs expand DISTRIBUTED — see
+        :meth:`expand_constructs`; their matching terms never reach the
+        driver.)  Compile latency is job-count-bound (each Spark job costs
+        ~1-3 s of fixed scheduling/codegen before any data moves), so both
+        lookups share a single scan.
 
-        One row per (term, construct) MATCH: patterns may overlap (the live
-        fixture has ship*/shipwreck*, c*/coal*/...), so a term matching
-        several constructs expands under EVERY one — a first-match coalesce
-        silently dropped it from later patterns.
-
-        Scale notes: a leading-wildcard scan is a full dictionary sweep; the
-        dictionary is ~|vocab| rows (tiny vs postings, persisted per reader)
-        so a scan per query batch is acceptable — an n-gram accelerator is
-        the upgrade path.  Fuzzy distances run JVM-side (``F.levenshtein``
-        with the early-exit threshold); expansions are capped at
-        ``_MAX_FUZZY_EXPANSIONS`` ordered (distance asc, term asc) with
-        boost ``1 - d / min(len(query_term), len(term))`` (FuzzyTermsEnum's
-        boost; plain Levenshtein — transpositions=false — pinned in
+        Fuzzy distances run JVM-side (``F.levenshtein`` with the early-exit
+        threshold); expansions are capped DISTRIBUTED at
+        ``_MAX_FUZZY_EXPANSIONS`` per construct, ordered (distance asc,
+        term asc) — the collect is bounded by 50 x |fuzzy constructs| —
+        with boost ``1 - d / min(len(query_term), len(term))``
+        (FuzzyTermsEnum's boost; plain Levenshtein pinned in
         :class:`~...queryparser.FuzzyNode`).
 
-        Returns ``(df_map, bucket_map, tid_map, pat_map, range_map,
-        fuzzy_map)``; the first three cover every matched row (exact AND
-        expansion hits — expanded terms need global df for scoring too)."""
-        empty: tuple = ({}, {}, {}, {}, {}, {})
-        if not (exact or patterns or ranges or fuzzies):
+        Returns ``(df_map, bucket_map, tid_map, fuzzy_map)``; the first
+        three cover every collected row (exact AND fuzzy hits — fuzzy
+        terms need global df for scoring too)."""
+        empty: tuple = ({}, {}, {}, {})
+        if not (exact or fuzzies):
             return empty
         from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
             term_id_of,
@@ -262,50 +377,30 @@ class IndexReader:
                 )
                 .select(*out_cols)
             )
-        conds = None
-        tagged = []  # F.when(cond, struct(tag string, aux int))
-
-        def tag(c, label: str, aux=F.lit(-1)):
-            nonlocal conds
-            tagged.append(
-                F.when(c, F.struct(F.lit(label).alias("k"), aux.alias("d")))
-            )
-            conds = c if conds is None else (conds | c)
-
-        for fld, pat in sorted(patterns):
-            # regex only where string ops can't answer: a Java regex match
-            # costs ~100x a startswith, and patterns x |vocab| row evals
-            # dominate compile time.  ``abc*`` -> startswith; any literal
-            # prefix short-circuits the regex for the non-matching bulk.
-            head = re.match(r"[^*?]*", pat).group(0)
-            c = F.col("field") == fld
-            if head == pat:  # no wildcard chars: exact equality
-                c = c & (F.col("term") == pat)
-            elif pat == head + "*":
-                c = c & F.col("term").startswith(head)
-            else:
-                if head:
-                    c = c & F.col("term").startswith(head)
-                c = c & F.col("term").rlike(self._wildcard_to_java_regex(pat))
-            tag(c, f"w\x00{fld}\x00{pat}")
-        range_keys = {}
-        for i, node in enumerate(sorted(ranges, key=repr)):
-            range_keys[f"r\x00{i}"] = node
-            c = F.col("field") == node.field
-            if node.lo is not None:
-                c = c & (F.col("term") >= node.lo if node.inc_lo else F.col("term") > node.lo)
-            if node.hi is not None:
-                c = c & (F.col("term") <= node.hi if node.inc_hi else F.col("term") < node.hi)
-            tag(c, f"r\x00{i}")
         fuzzy_keys = {}
-        for i, node in enumerate(
-            sorted(fuzzies, key=lambda n: (n.field, n.term, n.max_edits))
-        ):
-            fuzzy_keys[f"f\x00{i}"] = node
-            lev = F.levenshtein(F.col("term"), F.lit(node.term), node.max_edits)
-            tag((F.col("field") == node.field) & (lev >= 0), f"f\x00{i}", lev)
-        if conds is not None:
-            parts.append(
+        if fuzzies:
+            conds = None
+            tagged = []
+            for i, node in enumerate(
+                sorted(fuzzies, key=lambda n: (n.field, n.term, n.max_edits))
+            ):
+                fuzzy_keys[f"f\x00{i}"] = node
+                lev = F.levenshtein(
+                    F.col("term"), F.lit(node.term), node.max_edits
+                )
+                c = (F.col("field") == node.field) & (lev >= 0)
+                tagged.append(
+                    F.when(
+                        c,
+                        F.struct(
+                            F.lit(f"f\x00{i}").alias("k"), lev.alias("d")
+                        ),
+                    )
+                )
+                conds = c if conds is None else (conds | c)
+            from pyspark.sql import Window
+
+            fz = (
                 self.dictionary()
                 .where(conds)
                 .select(
@@ -314,6 +409,15 @@ class IndexReader:
                 )
                 .select(*out_cols)
             )
+            # cap BEFORE the collect so the driver never sees more than 50
+            # candidates per construct even against a huge vocabulary
+            wf = Window.partitionBy("k").orderBy("d", "term")
+            fz = (
+                fz.withColumn("_rn", F.row_number().over(wf))
+                .where(F.col("_rn") <= _MAX_FUZZY_EXPANSIONS)
+                .drop("_rn")
+            )
+            parts.append(fz)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -321,8 +425,6 @@ class IndexReader:
         df_map: dict[tuple[str, str], int] = {}
         bucket_map: dict[tuple[str, str], int] = {}
         tid_map: dict[tuple[str, str], int] = {}
-        pat_hits: dict[tuple[str, str], list[str]] = {p: [] for p in patterns}
-        range_hits: dict[qp.TermRangeNode, list[str]] = {n: [] for n in ranges}
         fuzzy_hits: dict[qp.FuzzyNode, list[tuple[int, str]]] = {
             n: [] for n in fuzzies
         }
@@ -332,15 +434,8 @@ class IndexReader:
             bucket_map[ft] = int(r["bucket"])
             tid_map[ft] = int(r["term_id"])
             k = r["k"]
-            if k[0] == "w":
-                _, fld, pat = k.split("\x00", 2)
-                pat_hits[(fld, pat)].append(r["term"])
-            elif k[0] == "r":
-                range_hits[range_keys[k]].append(r["term"])
-            elif k[0] == "f":
+            if k[0] == "f":
                 fuzzy_hits[fuzzy_keys[k]].append((int(r["d"]), r["term"]))
-        pat_map = {k: tuple(sorted(v)) for k, v in pat_hits.items()}
-        range_map = {k: tuple(sorted(v)) for k, v in range_hits.items()}
         fuzzy_map: dict[qp.FuzzyNode, tuple[tuple[str, float], ...]] = {}
         for node, matches in fuzzy_hits.items():
             matches = sorted(matches)[:_MAX_FUZZY_EXPANSIONS]
@@ -348,7 +443,7 @@ class IndexReader:
                 (t, 1.0 - d / min(len(node.term), len(t)) if d else 1.0)
                 for d, t in matches
             )
-        return df_map, bucket_map, tid_map, pat_map, range_map, fuzzy_map
+        return df_map, bucket_map, tid_map, fuzzy_map
 
 
 def re_escape_java(ch: str) -> str:
@@ -368,11 +463,31 @@ class ExpandedTermsNode(qp.Node):
     for any doc containing >= 1 of the expanded terms.  ``source`` keeps the
     original construct so the single-doc (daily-update) path can also match
     terms the index has never seen — the reference expands multi-term
-    queries against the transient per-doc index, not a global dictionary."""
+    queries against the transient per-doc index, not a global dictionary.
+
+    ``terms is None`` marks a DISTRIBUTED expansion: the matching terms
+    were never collected to the driver — the construct's term_id DataFrame
+    (reader.expansion_cache[key]) semi-joins into the blocks fetch, rows
+    arrive tagged with ``key``, and the evaluator unions the group's tagged
+    term postings (constant-score rewrite, Lucene MultiTermQuery style).
+    The streaming path re-expands ``source`` against the batch vocabulary
+    and substitutes an explicit tuple."""
 
     field: str
-    terms: tuple[str, ...]
+    terms: tuple[str, ...] | None = None
     source: qp.Node | None = None
+    key: str | None = None
+
+
+@dataclass
+class ExpansionInfo:
+    """One construct's distributed expansion: the matching term_ids as a
+    (persist-shared) DataFrame plus the BOUNDED driver-side facts — match
+    count and hosting buckets (for partition pruning)."""
+
+    df: DataFrame
+    n_terms: int
+    buckets: tuple[int, ...]
 
 
 #: FuzzyQuery's expansion cap (Lucene maxExpansions default 50); ties are
@@ -491,9 +606,10 @@ def compile_queries(
         return out
     parsed = {cid: qp.parse_query(q, config) for cid, q in categories}
 
-    # every dictionary-dependent need of the whole batch, resolved in ONE
-    # Spark job: exact terms (df/bucket/term_id), wildcard / range / fuzzy
-    # expansions.  Expanded terms' global df rides the same collected rows.
+    # the BOUNDED dictionary needs (exact terms, fuzzy candidates) resolve
+    # in ONE collected Spark job; wildcard / term-range constructs expand
+    # DISTRIBUTED (expand_constructs) — their matching terms never reach
+    # the driver, only per-construct counts + hosting buckets do.
     exact: set[tuple[str, str]] = set()
     patterns: set[tuple[str, str]] = set()
     ranges: set[qp.TermRangeNode] = set()
@@ -503,21 +619,24 @@ def compile_queries(
         patterns |= qp.collect_patterns(node)
         ranges |= qp.collect_term_ranges(node)
         fuzzies |= qp.collect_fuzzy(node)
-    df_map, bucket_map, tid_map, pat_map, range_map, fuzzy_map = (
-        reader.lookup_dictionary(exact, patterns, ranges, fuzzies)
+    df_map, bucket_map, tid_map, fuzzy_map = reader.lookup_dictionary(
+        exact, fuzzies
     )
+    constructs: set[qp.Node] = {
+        qp.WildcardNode(f, p) for f, p in patterns
+    } | set(ranges)
+    if constructs:
+        reader.expand_constructs(constructs, config)
 
     #: key -> original metadata clause; doc sets are NOT resolved here —
     #: they materialize distributed at evaluation time (build_virtual_blocks)
     virtual: dict[str, qp.Node] = {}
 
     def rewrite(node: qp.Node) -> qp.Node:
-        if isinstance(node, qp.WildcardNode):
+        if isinstance(node, (qp.WildcardNode, qp.TermRangeNode)):
             return ExpandedTermsNode(
-                node.field, pat_map.get((node.field, node.pattern), ()), node
+                node.field, None, node, key=repr(node)
             )
-        if isinstance(node, qp.TermRangeNode):
-            return ExpandedTermsNode(node.field, range_map.get(node, ()), node)
         if isinstance(node, qp.FuzzyNode):
             tb = fuzzy_map.get(node, ())
             return ExpandedFuzzyNode(
@@ -582,7 +701,7 @@ def phrase_terms(node: qp.Node) -> set[tuple[str, str]]:
 def needed_terms(node: qp.Node) -> set[tuple[str, str]]:
     out = qp.collect_terms(node)
     if isinstance(node, (ExpandedTermsNode, ExpandedFuzzyNode)):
-        out |= {(node.field, t) for t in node.terms}
+        out |= {(node.field, t) for t in (node.terms or ())}
     elif isinstance(node, VirtualDocsNode):
         out |= {(VIRTUAL_FIELD, node.key)}
     elif isinstance(node, qp.BoostNode):
@@ -593,6 +712,24 @@ def needed_terms(node: qp.Node) -> set[tuple[str, str]]:
     elif isinstance(node, qp.BoolNode):
         for _, child in node.clauses:
             out |= needed_terms(child)
+    return out
+
+
+def distributed_constructs(node: qp.Node) -> set[str]:
+    """Construct keys of every DISTRIBUTED expansion (ExpandedTermsNode
+    with terms=None) in an AST."""
+    out: set[str] = set()
+    if isinstance(node, ExpandedTermsNode):
+        if node.terms is None and node.key is not None:
+            out.add(node.key)
+    elif isinstance(node, qp.BoostNode):
+        out |= distributed_constructs(node.child)
+    elif isinstance(node, qp.DisMaxNode):
+        for c in node.children:
+            out |= distributed_constructs(c)
+    elif isinstance(node, qp.BoolNode):
+        for _, c in node.clauses:
+            out |= distributed_constructs(c)
     return out
 
 
@@ -885,6 +1022,18 @@ class _Evaluator:
         self.dead = dead if dead is not None and len(dead) else None
         #: per-field block-max inflation covering avgdl drift since encode
         self.norm_safety = norm_safety or {}
+        #: construct key -> sorted term_ids present in THIS group (from the
+        #: distributed expansion tags riding the eval shuffle)
+        self.construct_tids: dict[str, list[int]] = {}
+
+    def _term_by_id(self, tid: int) -> _TermData | None:
+        """Decode-cache lookup by numeric term_id (distributed expansions
+        know ids, not strings; shares the cache _term fills)."""
+        td = self.terms.get(tid)
+        if td is None and tid in self.rows_by_term:
+            td = self._decode(self.rows_by_term[tid])
+            self.terms[tid] = td
+        return td
 
     def _decode(self, rows: pd.DataFrame) -> _TermData:
         """Decode + tombstone-filter one term's blocks (all decode paths
@@ -1090,6 +1239,15 @@ class _Evaluator:
             return ids, sc
         if isinstance(node, ExpandedTermsNode):
             ids = _EMPTY
+            if node.terms is None:
+                # distributed expansion: the group's rows tagged with this
+                # construct key ARE the expansion (terms never enumerated
+                # driver-side); constant-score union over their postings
+                for tid in self.construct_tids.get(node.key, ()):
+                    td = self._term_by_id(tid)
+                    if td is not None:
+                        ids = np.union1d(ids, td.ids)
+                return ids, np.ones(len(ids))
             for t in node.terms:
                 td = self._term(node.field, t)
                 if td is not None:
@@ -1315,10 +1473,13 @@ def run_categories(
     )
 
     term_cats: dict[tuple[str, str], list[str]] = {}
+    construct_cats: dict[str, list[str]] = {}
     for cid, node in compiled.items():
         for key in needed_terms(node):
             term_cats.setdefault(key, []).append(cid)
-    if not term_cats:
+        for ckey in distributed_constructs(node):
+            construct_cats.setdefault(ckey, []).append(cid)
+    if not term_cats and not construct_cats:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
     # categories are evaluated in CHUNKS of one task per (chunk, band); all
@@ -1352,7 +1513,7 @@ def run_categories(
         for c in cids:
             ch = chunk_of[c]
             term_chunks[(tid, ch)] = term_chunks.get((tid, ch), False) or (c in pcs)
-    if not term_chunks:
+    if not term_chunks and not construct_cats:
         return spark.createDataFrame([], RESULT_SCHEMA)
     # one DOCMAP row set per chunk: the broadcast join below replicates the
     # per-band ord->doc_id arrays into every (chunk, band) eval task.  A
@@ -1365,14 +1526,60 @@ def run_categories(
         sorted((tid, ch, np_) for (tid, ch), np_ in term_chunks.items()),
         ["term_id", "chunk", "needs_pos"],
     )
+    # DISTRIBUTED expansions: each used construct's term_id DataFrame joins
+    # into the term routing, tagged with its construct key — the driver
+    # knows only counts + hosting buckets (bounded), never the terms
+    construct_chunks = {
+        ckey: sorted({chunk_of[c] for c in cids})
+        for ckey, cids in construct_cats.items()
+    }
+    exp_infos = {
+        ckey: reader.expansion_cache[ckey] for ckey in construct_chunks
+    }
+    exp_buckets = sorted(
+        {b for info in exp_infos.values() for b in info.buckets}
+    )
+    exp_parts = []
+    for ckey in sorted(construct_chunks):
+        info = exp_infos[ckey]
+        if info.n_terms == 0:
+            continue
+        chdf = spark.createDataFrame(
+            [(c,) for c in construct_chunks[ckey]], "chunk int"
+        )
+        exp_parts.append(
+            info.df.crossJoin(F.broadcast(chdf)).select(
+                "term_id",
+                "chunk",
+                F.lit(False).alias("needs_pos"),
+                F.array(F.lit(ckey)).alias("vkeys"),
+            )
+        )
+    if exp_parts:
+        terms_df = terms_df.withColumn(
+            "vkeys", F.array().cast("array<string>")
+        )
+        for p in exp_parts:
+            terms_df = terms_df.unionByName(p)
+        # a term can be exact AND belong to several constructs: merge to one
+        # routing row per (term, chunk) so each block ships through the
+        # shuffle once, carrying ALL its construct tags
+        terms_df = terms_df.groupBy("term_id", "chunk").agg(
+            F.max("needs_pos").alias("needs_pos"),
+            F.array_distinct(F.flatten(F.collect_list("vkeys"))).alias(
+                "vkeys"
+            ),
+        )
     band_bits = reader.band_bits
     # bucket pruning: buckets hosting THIS run's needed terms — known from
     # the dictionary fetch in compile_queries (no extra job); terms absent
     # from the dictionary have no postings anywhere.  bucket_map may be a
     # superset (per-category compile cache shares the batch's maps), so
-    # filter by the evaluated categories' own terms.
+    # filter by the evaluated categories' own terms.  Construct buckets
+    # come from the expansion's bounded stats.
     buckets = sorted(
         {bucket_map[k] for k in term_cats if k in bucket_map}
+        | set(exp_buckets)
     )
     from ds_discovery_opensearch_taxonomy_spark.operators.index_build import (
         BLOCKS_SCHEMA,
@@ -1389,10 +1596,16 @@ def run_categories(
         # join-side; an explicit IN filter reaches the scan (PushedFilters)
         # and skips row groups via term_id min/max stats (files are sorted by
         # term_id).  Capped — a giant IN list costs more in planning than it
-        # saves; above the cap the broadcast join alone does the selection.
+        # saves; above the cap the broadcast term join alone does the
+        # selection.  Construct expansions can't enumerate term_ids driver-
+        # side, so their buckets stay un-skipped via the OR leg (both legs
+        # push down to parquet stats).
         tids = sorted({t for t, _ in term_chunks})
         if len(tids) <= _MAX_PUSHED_TERM_IDS:
-            blocks = blocks.where(F.col("term_id").isin(tids))
+            sel = F.col("term_id").isin(tids)
+            if exp_buckets:
+                sel = sel | F.col("bucket").isin(exp_buckets)
+            blocks = blocks.where(sel)
     if virtual:
         vblocks = build_virtual_blocks(reader, virtual, tid_map, config, band_bits)
         blocks = vblocks if blocks is None else blocks.unionByName(vblocks)
@@ -1417,7 +1630,13 @@ def run_categories(
         F.lit(None).cast("binary").alias("posdata"),
     )
     blocks = dmap if blocks is None else blocks.unionByName(dmap)
-    tagged = blocks.join(F.broadcast(terms_df), ["term_id"])
+    if exp_parts:
+        # expansion side is unbounded (can match 10^8+ vocabulary terms on
+        # a web-scale corpus) — no forced broadcast; AQE picks broadcast
+        # when the realized expansion is small, shuffled hash join when not
+        tagged = blocks.join(terms_df, ["term_id"])
+    else:
+        tagged = blocks.join(F.broadcast(terms_df), ["term_id"])
     # drop position streams for non-phrase terms BEFORE the eval shuffle
     # (the projection runs map-side, between the join and the exchange)
     tagged = tagged.withColumn(
@@ -1433,6 +1652,8 @@ def run_categories(
                  "docids", "tfs", "posdata"]
     if scored:
         eval_cols += ["min_docid", "max_docid", "max_norm"]
+    if exp_parts:
+        eval_cols.append("vkeys")
     tagged = tagged.select(*eval_cols)
 
     n_docs = float(reader.n_docs)
@@ -1482,6 +1703,18 @@ def run_categories(
             needs_pos, tid_map_b.value, dl_by_field, int(band_start),
             dead=dead, norm_safety=norm_safety,
         )
+        if "vkeys" in pdf.columns:
+            # distributed expansion tags: which of this group's term_ids
+            # belong to which construct (one pass over rows with tags)
+            cmap: dict[str, set[int]] = {}
+            vk_col = pdf["vkeys"]
+            mask = vk_col.map(lambda v: v is not None and len(v) > 0)
+            for tid_v, vk in zip(
+                pdf.loc[mask, "term_id"].to_numpy(), vk_col[mask]
+            ):
+                for k in vk:
+                    cmap.setdefault(k, set()).add(int(tid_v))
+            ev.construct_tids = {k: sorted(v) for k, v in cmap.items()}
         tid_map = tid_map_b.value
         n_by_term = {t: int(rows["n"].sum()) for t, rows in rows_by_term.items()}
         frames = []
@@ -1489,6 +1722,10 @@ def run_categories(
             node = nodes[cid]
             group_postings = sum(
                 n_by_term.get(tid_map.get(key), 0) for key in needed_terms(node)
+            ) + sum(
+                n_by_term.get(t, 0)
+                for ckey in distributed_constructs(node)
+                for t in ev.construct_tids.get(ckey, ())
             )
             if top_k is not None and scored and group_postings >= _TOPK_MIN_POSTINGS:
                 # per-band block-max top-k: the in-band cut keeps boundary

@@ -318,7 +318,7 @@ def categorise_batch(engine: TaxonomyEngine, batch_df: DataFrame) -> DataFrame:
                     elif isinstance(src, qp.TermRangeNode):
                         terms = _expand_range(vocab, src)
                     else:
-                        terms = node.terms
+                        terms = node.terms or ()
                     return search_ops.ExpandedTermsNode(
                         node.field, tuple(terms), src
                     )

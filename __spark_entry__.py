@@ -173,6 +173,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("score", 4).alias("score")
         )
 
+    def q_search_filtered_selective(spark, sf):  # r3: filter BEFORE scoring
+        """Highly-selective filter context (rarest lang, ~14% of docs):
+        compiled as a FILTER-occur virtual clause that prunes candidates
+        INSIDE the evaluator (before scoring and the per-band top-k cut),
+        not as a post-join — reference Must/Filter split,
+        OpenSearchConnection.cs:393-402.  BM25 stats stay GLOBAL (filters
+        restrict candidates, not df/avgdl), which the oracle mirrors by
+        scoring first and filtering after."""
+        eng = _engine(spark, sf)
+        return eng.search(
+            '"table" OR "window"', limit=15, filters={"lang": ["de"]}
+        ).select("doc_id", F.round("score", 4).alias("score"))
+
+    def q_facets_scoped(spark, sf):  # R10: query-scoped terms aggregation
+        """Facets over the QUERY's match set (reference attaches terms
+        aggs to the search request, OpenSearchConnection.SetupFacets:322-336)
+        — not whole-corpus counts."""
+        eng = _engine(spark, sf)
+        return eng.facets("lang", query_text='"table" AND "window"')
+
     def q_search_sorted(spark, sf):  # R11 metadata sort replaces relevance
         eng = _engine(spark, sf)
         return eng.search(
@@ -453,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_rewrite": q_date_rewrite,
         "q_id_conjunction": q_id_conjunction,
         "q_search_filtered": q_search_filtered,
+        "q_search_filtered_selective": q_search_filtered_selective,
+        "q_facets_scoped": q_facets_scoped,
         "q_search_sorted": q_search_sorted,
         "q_numeric_range": q_numeric_range,
         "q_bm25_topk": q_bm25_topk,
@@ -642,6 +664,19 @@ WITH d2 AS (
             "WHERE lang = 'en' AND score >= 0.3 "
             "ORDER BY score DESC, doc_id LIMIT 12",
         ),
+        "q_search_filtered_selective": bm25(
+            ["table", "window"],
+            "SELECT doc_id, round(score, 4) AS score FROM scores "
+            "JOIN documents USING (doc_id) "
+            "WHERE lang = 'de' "
+            "ORDER BY score DESC, doc_id LIMIT 15",
+        ),
+        "q_facets_scoped": f"""
+            SELECT lang, count(*) AS count FROM documents
+            WHERE list_contains({tok}, 'table')
+              AND list_contains({tok}, 'window')
+            GROUP BY lang ORDER BY count DESC, lang LIMIT 100
+        """,
         "q_search_sorted": f"""
             SELECT doc_id, n_chars FROM documents
             WHERE list_contains({tok}, 'vector')

@@ -207,24 +207,28 @@ class TaxonomyEngine:
         OpenSearchConnection.SetupSearchRequest:252-255)."""
         query_text = self._effective_query(query_text)
         config = self._search_config(fields)
-        if filters:
-            res = search_ops.run_categories(
-                self.spark, self.reader, [("__q", query_text)], scored=True,
-                config=config,
+        # filters compile to FILTER-context virtual clauses that prune
+        # candidates INSIDE the evaluator (before scoring and before the
+        # top-k cut) — a selective filter reduces work, not just output,
+        # and the per-band early cut stays on (reference Must/Filter split,
+        # OpenSearchConnection.cs:393-402)
+        extra = (
+            tuple(
+                qp.MetaInNode(col, tuple(sorted(vals)))
+                for col, vals in sorted(filters.items())
             )
-            allowed = self.reader.docs()
-            for col, vals in filters.items():
-                allowed = allowed.where(F.col(col).isin(list(vals)))
-            res = res.join(allowed.select("doc_id"), "doc_id", "semi")
-        else:
-            res = search_ops.run_categories(
-                self.spark,
-                self.reader,
-                [("__q", query_text)],
-                scored=True,
-                top_k=None if sort_by else offset + limit,
-                config=config,
-            )
+            if filters
+            else None
+        )
+        res = search_ops.run_categories(
+            self.spark,
+            self.reader,
+            [("__q", query_text)],
+            scored=True,
+            top_k=None if sort_by else offset + limit,
+            config=config,
+            extra_filters=extra,
+        )
         res = res.where(F.col("score") >= min_score)
         if sort_by:
             res = res.join(self.reader.docs(), "doc_id")
@@ -273,11 +277,32 @@ class TaxonomyEngine:
         )
         return dataclasses.replace(self.config, multi_fields=pairs)
 
-    def facets(self, column: str, limit: int = 100) -> DataFrame:
-        """Terms aggregation over a docs-table metadata column (R10)."""
+    def facets(
+        self,
+        column: str,
+        limit: int = 100,
+        query_text: str | None = None,
+    ) -> DataFrame:
+        """Terms aggregation over a docs-table metadata column (R10).
+
+        With ``query_text``, counts are computed over the QUERY'S match set
+        — the reference attaches terms aggregations to the search request
+        (OpenSearchConnection.SetupFacets:322-336), so facets reflect the
+        current result set, not the whole corpus.  The match set comes from
+        the unscored eval (no BM25 work) and semi-joins the docs scan."""
+        docs = self.reader.docs()
+        if query_text is not None and self._effective_query(query_text) != "*:*":
+            matches = search_ops.run_categories(
+                self.spark,
+                self.reader,
+                [("__f", self._effective_query(query_text))],
+                scored=False,
+            )
+            docs = docs.join(
+                matches.select("doc_id").distinct(), "doc_id", "semi"
+            )
         return (
-            self.reader.docs()
-            .groupBy(column)
+            docs.groupBy(column)
             .agg(F.count("*").alias("count"))
             .orderBy(F.desc("count"), F.asc(column))
             .limit(limit)

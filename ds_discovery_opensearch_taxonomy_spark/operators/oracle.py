@@ -23,6 +23,7 @@ from ds_discovery_opensearch_taxonomy_spark.plans.queryparser import (
     DisMaxNode,
     FuzzyNode,
     IdNode,
+    MetaInNode,
     IntRangeNode,
     IntTermNode,
     MatchAllNode,
@@ -66,6 +67,8 @@ class OracleDoc:
     #: field -> token count (dl)
     dl: dict[str, int]
     int_values: dict[str, int] = field(default_factory=dict)
+    #: raw source-row metadata (filter-context clauses match against it)
+    meta: dict = field(default_factory=dict)
 
 
 def build_oracle_doc(
@@ -88,7 +91,9 @@ def build_oracle_doc(
         fields[spec.name] = postings
         dl[spec.name] = count
     ints = {f: int(row[f]) for f in config.int_fields if row.get(f) is not None}
-    return OracleDoc(doc_id, (doc_ref or str(doc_id)).lower(), fields, dl, ints)
+    return OracleDoc(
+        doc_id, (doc_ref or str(doc_id)).lower(), fields, dl, ints, dict(row)
+    )
 
 
 class OracleIndex:
@@ -233,6 +238,9 @@ class OracleIndex:
         if isinstance(node, IdNode):
             hit = doc.doc_ref == node.doc_ref
             return hit, 1.0 if hit else 0.0
+        if isinstance(node, MetaInNode):
+            hit = doc.meta.get(node.column) in node.values
+            return hit, 1.0 if hit else 0.0
         if isinstance(node, FuzzyNode):
             total = 0.0
             matched = False
@@ -260,15 +268,23 @@ class OracleIndex:
                     if not ok:
                         return False, 0.0
                     must_scores.append(s)
+                elif occur is Occur.FILTER:
+                    # filter context: must match, contributes no score
+                    if not ok:
+                        return False, 0.0
                 elif occur is Occur.MUST_NOT:
                     if ok:
                         return False, 0.0
                 else:
                     if ok:
                         should_scores.append(s)
-            has_must = any(o is Occur.MUST for o, _ in node.clauses)
+            has_must = any(
+                o in (Occur.MUST, Occur.FILTER) for o, _ in node.clauses
+            )
             has_should = any(o is Occur.SHOULD for o, _ in node.clauses)
             if not has_must:
+                # no must/filter: >=1 SHOULD must match (Lucene/OpenSearch
+                # minimum_should_match defaults to 1 there, 0 otherwise)
                 if not has_should:
                     return False, 0.0  # pure negative matches nothing
                 if not should_scores:

@@ -758,6 +758,8 @@ def virtual_condition(node: qp.Node):
         return F.lower(F.concat_ws("/", "repo", "path", "commit")) == node.doc_ref
     if isinstance(node, qp.MatchAllNode):
         return F.lit(True)
+    if isinstance(node, qp.MetaInNode):
+        return F.col(node.column).isin(list(node.values))
     raise TypeError(type(node))  # pragma: no cover
 
 
@@ -1417,6 +1419,7 @@ class _Evaluator:
         must = [(o, c) for o, c in node.clauses if o is qp.Occur.MUST]
         should = [c for o, c in node.clauses if o is qp.Occur.SHOULD]
         must_not = [c for o, c in node.clauses if o is qp.Occur.MUST_NOT]
+        filters = [c for o, c in node.clauses if o is qp.Occur.FILTER]
         ids: np.ndarray
         sc: np.ndarray
         if must:
@@ -1424,6 +1427,17 @@ class _Evaluator:
             for _, child in must[1:]:
                 cids, csc = self.eval(child)
                 ids, sc = _intersect_add(ids, sc, cids, csc)
+                if len(ids) == 0:
+                    return _EMPTY, _EMPTY
+            # filter context: restrict candidates, contribute NO score —
+            # intersect drops non-matching docs before SHOULD boosts and
+            # before any top-k cut (the reference's Must/Filter split)
+            for child in filters:
+                fids, _ = self.eval(child)
+                common, ia, _ib = np.intersect1d(
+                    ids, fids, assume_unique=True, return_indices=True
+                )
+                ids, sc = common, sc[ia]
                 if len(ids) == 0:
                     return _EMPTY, _EMPTY
             # SHOULD only adds score on the MUST-filtered set
@@ -1434,13 +1448,31 @@ class _Evaluator:
                 )
                 sc = sc.copy()
                 sc[ia] += csc[ib]
-        else:
-            if not should:
-                return _EMPTY, _EMPTY  # pure negative matches nothing
+        elif filters:
+            # filter-context candidates (constant sets, no score); SHOULDs
+            # become optional scorers — minimum_should_match defaults to 0
+            # when a filter/must is present (OpenSearch bool semantics)
+            ids, _ = self.eval(filters[0])
+            for child in filters[1:]:
+                fids, _ = self.eval(child)
+                ids = np.intersect1d(ids, fids, assume_unique=True)
+                if len(ids) == 0:
+                    return _EMPTY, _EMPTY
+            sc = np.zeros(len(ids))
+            for child in should:
+                cids, csc = self.eval(child)
+                common, ia, ib = np.intersect1d(
+                    ids, cids, assume_unique=True, return_indices=True
+                )
+                sc = sc.copy()
+                sc[ia] += csc[ib]
+        elif should:
             ids, sc = _EMPTY, _EMPTY
             for child in should:
                 cids, csc = self.eval(child)
                 ids, sc = _union_add(ids, sc, cids, csc)
+        else:
+            return _EMPTY, _EMPTY  # pure negative matches nothing
         for child in must_not:
             nids, _ = self.eval(child)
             ids, sc = _andnot(ids, sc, nids)
@@ -1461,16 +1493,41 @@ def run_categories(
     scored: bool = True,
     top_k: int | None = None,
     config: EngineConfig | None = None,
+    extra_filters: tuple[qp.Node, ...] | None = None,
 ) -> DataFrame:
     """Evaluate all category queries against the whole index.
 
     Returns DataFrame (category_id, doc_id, score) — full match sets, or
     top-k per category when ``top_k`` is given (ties broken doc_id asc,
-    mirroring rank order (score desc, doc_id asc))."""
+    mirroring rank order (score desc, doc_id asc)).
+
+    ``extra_filters``: metadata clauses applied in FILTER context to every
+    query — compiled as virtual posting sets that intersect candidates
+    INSIDE the evaluator, before scoring accumulation and before the
+    per-band top-k cut (the reference's Must/Filter split,
+    OpenSearchConnection.cs:393-402), never as a post-join."""
     config = config or reader.config
     compiled, virtual, df_map, bucket_map, tid_map = compile_queries(
         reader, categories, config
     )
+    if extra_filters:
+        from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
+            term_id_of,
+        )
+
+        # never mutate the compile cache's shared dicts
+        virtual = dict(virtual)
+        tid_map = dict(tid_map)
+        fclauses = []
+        for fnode in extra_filters:
+            key = repr(fnode)
+            virtual[key] = fnode
+            tid_map[(VIRTUAL_FIELD, key)] = term_id_of(VIRTUAL_FIELD, key)
+            fclauses.append((qp.Occur.FILTER, VirtualDocsNode(key, fnode)))
+        compiled = {
+            cid: qp.BoolNode(tuple([(qp.Occur.MUST, node)] + fclauses))
+            for cid, node in compiled.items()
+        }
 
     term_cats: dict[tuple[str, str], list[str]] = {}
     construct_cats: dict[str, list[str]] = {}

@@ -42,6 +42,11 @@ class Occur(Enum):
     MUST = "MUST"
     SHOULD = "SHOULD"
     MUST_NOT = "MUST_NOT"
+    #: filter context: restricts candidates like MUST but contributes NO
+    #: score (OpenSearch bool.filter — the reference's HELD_BY_CODE
+    #: TermsQuery rides filter context, OpenSearchConnection.cs:289-299 +
+    #: Must/Filter split :393-402)
+    FILTER = "FILTER"
 
 
 @dataclass(frozen=True)
@@ -118,6 +123,17 @@ class IntRangeNode(Node):
 class IntTermNode(Node):
     field: str
     value: int
+
+
+@dataclass(frozen=True)
+class MetaInNode(Node):
+    """Docs-metadata membership clause (column IN values) — the engine's
+    filter-context building block (reference: TermsQuery over HELD_BY_CODE
+    in filter context, OpenSearchConnection.cs:289-299).  Constant score;
+    evaluated as virtual postings like the other metadata clauses."""
+
+    column: str
+    values: tuple
 
 
 @dataclass(frozen=True)

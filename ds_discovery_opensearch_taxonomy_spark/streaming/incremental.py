@@ -193,6 +193,12 @@ def _virtual_ids(node: qp.Node, pdf: pd.DataFrame, n: int) -> np.ndarray:
         if node.hi is not None:
             mask &= (col <= node.hi) if node.inc_hi else (col < node.hi)
         return np.flatnonzero(mask).astype(np.int64)
+    if isinstance(node, qp.MetaInNode):
+        if node.column not in pdf:
+            return np.empty(0, dtype=np.int64)
+        return np.flatnonzero(
+            pdf[node.column].isin(list(node.values)).to_numpy()
+        ).astype(np.int64)
     if isinstance(node, qp.IdNode):
         for c in ("repo", "path", "commit"):
             if c not in pdf:

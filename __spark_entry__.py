@@ -357,10 +357,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_multimodal_features(spark, sf):
         # byte entropy over the high nibble (16-bin histogram); the docs
         # are ASCII so DuckDB can recompute it from character code points
+        # compare at the operator's own 6-digit rounding: re-rounding to 4
+        # was a DOUBLE rounding — every 6-digit value ending in "50" sat on
+        # a knife edge where Spark/NumPy/DuckDB tie-break rules disagree
+        # (~1/100 docs), flaking the hash gate
         feats = multimodal.extract_features(
             multimodal.assets_from_documents(_docs(spark, sf))
         )
-        return feats.select("asset_id", F.round("byte_entropy", 4).alias("byte_entropy"))
+        return feats.select("asset_id", "byte_entropy")
 
     def q_wildcard_overlap(spark, sf):
         # OVERLAPPING patterns compiled in one pooled batch across several
@@ -427,10 +431,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "vec_id", F.col("vec_id") + 1000000
             )
         )
-        return (
-            similarity.embedding_near_dup(e2, threshold=0.9999995, bands=4)
-            .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
-        )
+        # cosine is already 6-rounded inside the operator — no re-round
+        # (double rounding flakes the hash gate at 6-digit "..50" values)
+        return similarity.embedding_near_dup(
+            e2, threshold=0.9999995, bands=4
+        ).select("id_a", "id_b", "cosine")
 
     def q_categorise_all(spark, sf):  # R3/R7/A1: grouped per-doc category sets
         """Index-backed categorise-all: every doc emitted with its sorted
@@ -560,50 +565,6 @@ WITH d2 AS (
   SELECT doc_id + 1000000, text FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 5)
 )
 """
-
-    def q_match_all(spark, sf):  # Q11 match-all syntax incl. NOT leg
-        return _run(spark, sf, '*:* NOT "vector"').select("doc_id")
-
-    def q_fuzzy(spark, sf):  # classic fuzzy ~N (Levenshtein expansion)
-        return _run(spark, sf, "window~1 OR tabel~1").select("doc_id")
-
-    def q_stream_categorise(spark, sf):  # S5/S9: micro-batch daily-update
-        """The streaming categoriser (per-batch in-memory index + the
-        vectorized evaluator) over the documents table as ONE micro-batch;
-        every doc emitted with its sorted matching-category list."""
-        from ds_discovery_opensearch_taxonomy_spark.streaming.incremental import (
-            categorise_batch,
-        )
-
-        base = _engine(spark, sf)  # global index provides the stats snapshot
-        eng = TaxonomyEngine(spark, str(base.reader.cat.root), DOCS_CONFIG)
-        eng.set_categories(
-            [
-                {"category_id": "S1", "query_text": '"table" AND "window" NOT "vector"'},
-                {"category_id": "S2", "query_text": "quer* OR *ndow"},
-                {"category_id": "S3", "query_text": '"table window"'},
-            ]
-        )
-        return categorise_batch(eng, _docs(spark, sf)).select(
-            "doc_id", F.array_join("category_ids", ",").alias("cats")
-        )
-
-    def q_embedding_near_dup(spark, sf):
-        # embedding-cosine near-dup: LSH-bucketed candidate pairs + exact
-        # cosine verify.  Injected exact duplicates (vec_id + 1e6) MUST be
-        # recalled (identical vectors share every band bucket), so at
-        # threshold ~1.0 the result is the exact collinear pair set — a
-        # hash-independent DuckDB twin (brute-force cosine over all pairs).
-        e = _emb(spark, sf)
-        e2 = e.unionByName(
-            e.where(F.col("vec_id") < 5).withColumn(
-                "vec_id", F.col("vec_id") + 1000000
-            )
-        )
-        return (
-            similarity.embedding_near_dup(e2, threshold=0.9999995, bands=4)
-            .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
-        )
 
     return {
         "q_match_bool": f"""
@@ -874,14 +835,14 @@ WITH d2 AS (
         """,
         "q_multimodal_features": """
             -- entropy over the high nibble of each byte (text is ASCII, so
-            -- code points == bytes); engine rounds to 6 then 4
+            -- code points == bytes); single 6-digit rounding on both sides
             WITH nibbles AS (
               SELECT doc_id, unicode(c) // 16 AS nib
               FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
                     FROM documents)
             )
             SELECT doc_id AS asset_id,
-                   round(round(entropy(nib), 6), 4) AS byte_entropy
+                   round(entropy(nib), 6) AS byte_entropy
             FROM nibbles GROUP BY doc_id
         """,
         "q_minhash_lsh": dup_base + f"""
@@ -928,7 +889,7 @@ WITH d2 AS (
                         sqrt(list_dot_product(b.embedding, b.embedding))) AS c
                 FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id
             )
-            SELECT id_a, id_b, round(c, 4) AS cosine
+            SELECT id_a, id_b, round(c, 6) AS cosine
             FROM pairs WHERE round(c, 6) >= 0.9999995
         """,
         "q_wildcard_overlap": f"""

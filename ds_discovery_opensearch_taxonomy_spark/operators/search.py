@@ -142,22 +142,38 @@ class IndexReader:
         return self._dictionary_df
 
     def postings(self) -> DataFrame:
-        if self.has_deltas:
-            from ds_discovery_opensearch_taxonomy_spark.operators import (
-                index_append,
-            )
+        """Posting blocks — the DataFrame OBJECT is cached per reader: a
+        fresh spark.read.parquet resolves sources + reads footers on every
+        call (~80 ms), which dominated warm single-query latency.  The
+        index snapshot a reader binds to is immutable, so reuse is safe."""
+        if not hasattr(self, "_postings_df"):
+            if self.has_deltas:
+                from ds_discovery_opensearch_taxonomy_spark.operators import (
+                    index_append,
+                )
 
-            return index_append.postings_view(self.spark, self.cat)
-        return self.cat.read(self.spark, IndexCatalog.POSTINGS)
+                self._postings_df = index_append.postings_view(
+                    self.spark, self.cat
+                )
+            else:
+                self._postings_df = self.cat.read(
+                    self.spark, IndexCatalog.POSTINGS
+                )
+        return self._postings_df
 
     def docs(self) -> DataFrame:
-        if self.has_deltas:
-            from ds_discovery_opensearch_taxonomy_spark.operators import (
-                index_append,
-            )
+        if not hasattr(self, "_docs_df"):
+            if self.has_deltas:
+                from ds_discovery_opensearch_taxonomy_spark.operators import (
+                    index_append,
+                )
 
-            return index_append.docs_view(self.spark, self.cat)
-        return self.spark.read.parquet(self.cat.path(IndexCatalog.DOCS))
+                self._docs_df = index_append.docs_view(self.spark, self.cat)
+            else:
+                self._docs_df = self.spark.read.parquet(
+                    self.cat.path(IndexCatalog.DOCS)
+                )
+        return self._docs_df
 
     def docmap(self) -> DataFrame:
         """Per-band packed sidecars (band, ford, blk_seq, n, payload):
@@ -1579,9 +1595,14 @@ def run_categories(
     # every band deterministically regardless of chunk packing.
     for ch in chunk_cids:
         term_chunks[(DOCMAP_TID, ch)] = False
+    # pandas -> Arrow path: a plain-list createDataFrame goes through the
+    # Python-RDD converter (~150-250 ms of driver time PER QUERY); the
+    # Arrow path is ~10x cheaper and dominates warm single-query latency
+    tdf_rows = sorted((tid, ch, np_) for (tid, ch), np_ in term_chunks.items())
     terms_df = spark.createDataFrame(
-        sorted((tid, ch, np_) for (tid, ch), np_ in term_chunks.items()),
-        ["term_id", "chunk", "needs_pos"],
+        pd.DataFrame(tdf_rows, columns=["term_id", "chunk", "needs_pos"]).astype(
+            {"term_id": "int64", "chunk": "int32", "needs_pos": "bool"}
+        )
     )
     # DISTRIBUTED expansions: each used construct's term_id DataFrame joins
     # into the term routing, tagged with its construct key — the driver
@@ -1667,25 +1688,32 @@ def run_categories(
         vblocks = build_virtual_blocks(reader, virtual, tid_map, config, band_bits)
         blocks = vblocks if blocks is None else blocks.unionByName(vblocks)
     # per-band ord -> doc_id translation arrays as sentinel block rows
-    # (payload rides the ``docids`` column; ordering by blk_seq)
-    dmap = reader.docmap()
-    if not scored:
-        # dl sidecars (ford >= 0) are only read by BM25 length norms;
-        # ord->doc_id (-1) and tombstones (-2) are needed in every mode
-        dmap = dmap.where(F.col("ford") < 0)
-    dmap = dmap.select(
-        F.lit(DOCMAP_TID).alias("term_id"),
-        F.col("ford").alias("salt"),  # sidecar kind rides the salt column
-        F.col("band"),
-        F.col("blk_seq"),
-        F.col("n"),
-        F.lit(0).cast("long").alias("min_docid"),
-        F.lit(0).cast("long").alias("max_docid"),
-        F.lit(0.0).alias("max_norm"),
-        F.col("payload").alias("docids"),
-        F.lit(None).cast("binary").alias("tfs"),
-        F.lit(None).cast("binary").alias("posdata"),
-    )
+    # (payload rides the ``docids`` column; ordering by blk_seq).  The
+    # projected DF is cached per (reader, scored): its ~12 chained column
+    # expressions cost real py4j latency per query otherwise.
+    dmap = getattr(reader, "_dmap_proj", {}).get(scored)
+    if dmap is None:
+        dmap = reader.docmap()
+        if not scored:
+            # dl sidecars (ford >= 0) are only read by BM25 length norms;
+            # ord->doc_id (-1) and tombstones (-2) are needed in every mode
+            dmap = dmap.where(F.col("ford") < 0)
+        dmap = dmap.select(
+            F.lit(DOCMAP_TID).alias("term_id"),
+            F.col("ford").alias("salt"),  # sidecar kind rides the salt column
+            F.col("band"),
+            F.col("blk_seq"),
+            F.col("n"),
+            F.lit(0).cast("long").alias("min_docid"),
+            F.lit(0).cast("long").alias("max_docid"),
+            F.lit(0.0).alias("max_norm"),
+            F.col("payload").alias("docids"),
+            F.lit(None).cast("binary").alias("tfs"),
+            F.lit(None).cast("binary").alias("posdata"),
+        )
+        if not hasattr(reader, "_dmap_proj"):
+            reader._dmap_proj = {}
+        reader._dmap_proj[scored] = dmap
     blocks = dmap if blocks is None else blocks.unionByName(dmap)
     if exp_parts:
         # expansion side is unbounded (can match 10^8+ vocabulary terms on
@@ -1719,11 +1747,31 @@ def run_categories(
     ord_shift = reader.ord_shift
     k1, b = config.k1, config.b
     field_names = [f.name for f in config.fields]
-    field_names_b = spark.sparkContext.broadcast(field_names)
-    compiled_b = spark.sparkContext.broadcast(compiled)
-    df_map_b = spark.sparkContext.broadcast(df_map)
-    tid_map_b = spark.sparkContext.broadcast(tid_map)
-    chunk_cids_b = spark.sparkContext.broadcast(chunk_cids)
+    # per-compile broadcasts cached on the reader: re-broadcasting the
+    # shared df/tid maps on every single-query call costs pickling + an
+    # RPC each (~20+ ms/query warm); keys mirror the compile cache
+    bkey = (tuple(categories), config, extra_filters)
+    if not hasattr(reader, "_bcast_cache"):
+        from collections import OrderedDict
+
+        reader._bcast_cache = OrderedDict()
+    cached_b = reader._bcast_cache.get(bkey)
+    if cached_b is None:
+        cached_b = (
+            spark.sparkContext.broadcast(field_names),
+            spark.sparkContext.broadcast(compiled),
+            spark.sparkContext.broadcast(df_map),
+            spark.sparkContext.broadcast(tid_map),
+            spark.sparkContext.broadcast(chunk_cids),
+        )
+        reader._bcast_cache[bkey] = cached_b
+        while len(reader._bcast_cache) > 256:
+            _, old = reader._bcast_cache.popitem(last=False)
+            for b_ in old:
+                b_.unpersist()
+    else:
+        reader._bcast_cache.move_to_end(bkey)
+    field_names_b, compiled_b, df_map_b, tid_map_b, chunk_cids_b = cached_b
 
     def eval_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         chunk, band = int(key[0]), int(key[1])
@@ -1801,14 +1849,24 @@ def run_categories(
     results = tagged.groupBy("chunk", "band").applyInPandas(eval_group, RESULT_SCHEMA)
 
     if top_k is not None:
-        from pyspark.sql import Window
+        if len(compiled) == 1:
+            # single category: TakeOrderedAndProject (per-partition top-k +
+            # driver-side merge) replaces the window's full shuffle + sort —
+            # one whole stage off the latency floor of the API search path
+            results = results.orderBy(
+                F.desc("score"), F.asc("doc_id")
+            ).limit(top_k)
+        else:
+            from pyspark.sql import Window
 
-        w = Window.partitionBy("category_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        results = (
-            results.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= top_k)
-            .drop("rank")
-        )
+            w = Window.partitionBy("category_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            results = (
+                results.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= top_k)
+                .drop("rank")
+            )
     return results
 
 

@@ -334,6 +334,7 @@ class IndexReader:
                     df=exp.where(F.col("ckey") == ckey).select("term_id"),
                     n_terms=n,
                     buckets=buckets,
+                    parent=exp,
                 )
         return {repr(n): self.expansion_cache[repr(n)] for n in nodes}
 
@@ -499,11 +500,15 @@ class ExpandedTermsNode(qp.Node):
 class ExpansionInfo:
     """One construct's distributed expansion: the matching term_ids as a
     (persist-shared) DataFrame plus the BOUNDED driver-side facts — match
-    count and hosting buckets (for partition pruning)."""
+    count and hosting buckets (for partition pruning).  ``parent`` is the
+    persisted (term_id, bucket, ckey) scan this construct was tagged in —
+    queries touching several constructs of one compile route them all with
+    a single isin filter over it instead of a per-construct union."""
 
     df: DataFrame
     n_terms: int
     buckets: tuple[int, ...]
+    parent: DataFrame | None = None
 
 
 #: FuzzyQuery's expansion cap (Lucene maxExpansions default 50); ties are
@@ -1618,19 +1623,45 @@ def run_categories(
         {b for info in exp_infos.values() for b in info.buckets}
     )
     exp_parts = []
-    for ckey in sorted(construct_chunks):
-        info = exp_infos[ckey]
-        if info.n_terms == 0:
-            continue
-        chdf = spark.createDataFrame(
-            [(c,) for c in construct_chunks[ckey]], "chunk int"
-        )
+    used_ckeys = [
+        ckey
+        for ckey in sorted(construct_chunks)
+        if exp_infos[ckey].n_terms > 0
+    ]
+    if used_ckeys:
+        # ONE (ckey, chunk) mapping + one broadcast join routes every
+        # construct's terms (a per-construct createDataFrame cost ~150 ms
+        # of driver time each on the wildcard-heavy category fixture);
+        # constructs sharing a tagged-scan parent select with one isin
+        by_parent: dict[int, tuple[DataFrame | None, list[str]]] = {}
+        for ckey in used_ckeys:
+            info = exp_infos[ckey]
+            key = id(info.parent) if info.parent is not None else id(info.df)
+            by_parent.setdefault(key, (info, []))[1].append(ckey)
+        cdf = None
+        for info, ckeys in by_parent.values():
+            if info.parent is not None:
+                d = info.parent.where(F.col("ckey").isin(ckeys)).select(
+                    "ckey", "term_id"
+                )
+            else:  # pre-parent cache entries: per-construct fallback
+                d = info.df.select(F.lit(ckeys[0]).alias("ckey"), "term_id")
+            cdf = d if cdf is None else cdf.unionByName(d)
+        pairs_pd = pd.DataFrame(
+            [
+                (ck, ch)
+                for ck in used_ckeys
+                for ch in construct_chunks[ck]
+            ],
+            columns=["ckey", "chunk"],
+        ).astype({"chunk": "int32"})
         exp_parts.append(
-            info.df.crossJoin(F.broadcast(chdf)).select(
+            cdf.join(F.broadcast(spark.createDataFrame(pairs_pd)), "ckey")
+            .select(
                 "term_id",
                 "chunk",
                 F.lit(False).alias("needs_pos"),
-                F.array(F.lit(ckey)).alias("vkeys"),
+                F.array("ckey").alias("vkeys"),
             )
         )
     if exp_parts:

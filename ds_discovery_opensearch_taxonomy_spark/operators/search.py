@@ -1531,6 +1531,8 @@ def run_categories(
     compiled, virtual, df_map, bucket_map, tid_map = compile_queries(
         reader, categories, config
     )
+    #: cache key for per-compile artifacts (routing rows, broadcasts)
+    bkey = (tuple(categories), config, extra_filters)
     if extra_filters:
         from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
             term_id_of,
@@ -1679,6 +1681,23 @@ def run_categories(
                 "vkeys"
             ),
         )
+        # routing rows are identical for every run of this compile (scored
+        # or not) — persist per compile key so the scored pass after a bool
+        # pass (and every repeat) skips the union/agg/expansion scans
+        if not hasattr(reader, "_terms_df_cache"):
+            from collections import OrderedDict
+
+            reader._terms_df_cache = OrderedDict()
+        cached_t = reader._terms_df_cache.get(bkey)
+        if cached_t is None:
+            terms_df = terms_df.persist()
+            reader._terms_df_cache[bkey] = terms_df
+            while len(reader._terms_df_cache) > 64:
+                _, old_t = reader._terms_df_cache.popitem(last=False)
+                old_t.unpersist()
+        else:
+            reader._terms_df_cache.move_to_end(bkey)
+            terms_df = cached_t
     band_bits = reader.band_bits
     # bucket pruning: buckets hosting THIS run's needed terms — known from
     # the dictionary fetch in compile_queries (no extra job); terms absent
@@ -1781,7 +1800,6 @@ def run_categories(
     # per-compile broadcasts cached on the reader: re-broadcasting the
     # shared df/tid maps on every single-query call costs pickling + an
     # RPC each (~20+ ms/query warm); keys mirror the compile cache
-    bkey = (tuple(categories), config, extra_filters)
     if not hasattr(reader, "_bcast_cache"):
         from collections import OrderedDict
 

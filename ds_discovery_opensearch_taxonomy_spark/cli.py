@@ -10,6 +10,10 @@ Modes:
 * ``categorise``        — run all category queries, write per-doc results;
 * ``test-categorise``   — categorise specific docs with scores (CLI -t flag);
 * ``search``            — ad-hoc query with min-score/limit/offset;
+* ``append``            — daily-update: add/replace docs in the LIVE index
+                          (idempotent by --batch-key);
+* ``compact``           — fold accumulated append deltas into the main
+                          tables (atomic manifest commit);
 * ``synthesize``        — generate a deterministic corpus table.
 """
 
@@ -88,6 +92,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--limit", type=int, default=10)
     s.add_argument("--offset", type=int, default=0)
 
+    a = sub.add_parser("append")
+    a.add_argument("--index", required=True)
+    a.add_argument("--corpus", required=True, help="parquet path of new/updated rows")
+    a.add_argument("--batch-key", required=True, help="idempotency key")
+
+    k = sub.add_parser("compact")
+    k.add_argument("--index", required=True)
+
     g = sub.add_parser("synthesize")
     g.add_argument("--rows", type=int, required=True)
     g.add_argument("--out", required=True)
@@ -120,6 +132,16 @@ def main(argv: list[str] | None = None) -> int:
         rows = eng.search_page(args.query, args.min_score, args.limit, args.offset)
         for r in rows:
             print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+    elif args.mode == "append":
+        eng = TaxonomyEngine(spark, args.index)
+        metrics = eng.append_docs(
+            spark.read.parquet(args.corpus), batch_key=args.batch_key
+        )
+        print(json.dumps(metrics or {"replayed": True}))
+    elif args.mode == "compact":
+        eng = TaxonomyEngine(spark, args.index)
+        out = eng.compact()
+        print(json.dumps(out or {"nothing_to_compact": True}))
     elif args.mode == "synthesize":
         from ds_discovery_opensearch_taxonomy_spark.sources.corpus import synthesize_corpus
 

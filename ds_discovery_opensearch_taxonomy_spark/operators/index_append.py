@@ -327,14 +327,22 @@ def append_batch(
 
 
 def _stats_totals(cat: IndexCatalog, field_names: list[str]) -> dict:
-    """Live (n_docs, per-field sum_dl) derived from the manifest: build base
-    + committed deltas.  Derivable, so a crash between the doc_stats write
-    and the delta commit self-repairs on the next append."""
+    """Live (n_docs, per-field sum_dl) derived from the manifest: the
+    stats base (build totals, or ``meta.stats_base`` after a compaction
+    folded earlier deltas in) + committed deltas.  Derivable, so a crash
+    between the doc_stats write and the delta commit self-repairs on the
+    next append."""
     m = cat.manifest()
-    n = int(m["stages"]["ords"]["metrics"]["n_docs"])
-    sum_dl = dict(
-        m["stages"].get("staging", {}).get("metrics", {}).get("sum_dl") or {}
-    )
+    base = m.get("meta", {}).get("stats_base")
+    if base is not None:
+        n = int(base["n_docs"])
+        sum_dl = dict(base.get("sum_dl") or {})
+    else:
+        n = int(m["stages"]["ords"]["metrics"]["n_docs"])
+        sum_dl = dict(
+            m["stages"].get("staging", {}).get("metrics", {}).get("sum_dl")
+            or {}
+        )
     for d in m.get("deltas", {}).values():
         n += int(d["n_docs"])
         for fn, v in d.get("sum_dl", {}).items():
@@ -456,7 +464,11 @@ def compact_index(
         gen_dir(IndexCatalog.DOCMAP)
     )
     n_batches = len(cat.deltas())
-    cat.clear_deltas(gens)  # ATOMIC commit: readers flip here
+    # roll the compacted batches' doc/dl totals into the stats base in the
+    # SAME atomic write that clears the delta list — live n/avgdl must not
+    # forget compacted docs (idf/norms would silently shrink)
+    field_names = [f.name for f in config.fields]
+    cat.clear_deltas(gens, stats_base=_stats_totals(cat, field_names))
     # GC superseded dirs (pre-commit crash leaves them live, so only now)
     for t, old in old_dirs.items():
         if old != cat.path(t):

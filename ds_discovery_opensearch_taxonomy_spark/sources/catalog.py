@@ -126,15 +126,23 @@ class IndexCatalog:
         m.setdefault("meta", {})["next_delta_seq"] = int(metrics["seq"]) + 1
         self._write_manifest(m)
 
-    def clear_deltas(self, gen_updates: dict[str, int]) -> None:
+    def clear_deltas(
+        self, gen_updates: dict[str, int], stats_base: dict | None = None
+    ) -> None:
         """ONE atomic manifest write: bump table generations to the
-        compacted dirs AND drop the delta list — a crash before this leaves
-        the old main+delta view live; after it, the compacted view."""
+        compacted dirs, drop the delta list, AND roll the compacted
+        batches' doc/dl totals into ``meta.stats_base`` (live-stats
+        derivation must keep counting them after the delta list empties).
+        A crash before this leaves the old main+delta view live; after it,
+        the compacted view."""
         m = self.manifest()
         m["deltas"] = {}
-        m.setdefault("meta", {}).setdefault("gen", {}).update(
+        meta = m.setdefault("meta", {})
+        meta.setdefault("gen", {}).update(
             {t: int(g) for t, g in gen_updates.items()}
         )
+        if stats_base is not None:
+            meta["stats_base"] = stats_base
         self._write_manifest(m)
 
     # -- tables ----------------------------------------------------------------

@@ -226,3 +226,88 @@ def test_alignment_guard_rejects_partition_drift(spark):
     bad = attach_ords(df, [0, 25, 50, 75], expected=[30, 20, 25, 25])
     with pytest.raises(PythonException, match="partition"):
         bad.count()
+
+
+def test_append_compact_append_chain(spark, tmp_path_factory):
+    """The decode order must stay exact across a compaction boundary: a
+    post-compaction append's batch seq (and therefore its delta salt) must
+    continue ABOVE the compacted batches' salts now living inside the main
+    postings table — seq reuse would interleave generations wrongly."""
+    out = tmp_path_factory.mktemp("chain")
+    full = with_doc_ids(synthesize_corpus(spark, 240))
+    b0 = with_doc_ids(synthesize_corpus(spark, 120))
+    b1 = full.join(b0.select("doc_id"), "doc_id", "left_anti").where(
+        F_col_mod(full) == 0
+    )
+    b2 = full.join(b0.select("doc_id"), "doc_id", "left_anti").where(
+        F_col_mod(full) == 1
+    )
+    build_index(spark, b0, str(out), TEST_CONFIG)
+    eng = TaxonomyEngine(spark, str(out), TEST_CONFIG)
+    assert eng.append_docs(b1, batch_key="c1") is not None
+    seq_before = eng.reader.cat.next_delta_seq()
+    assert eng.compact() is not None
+    # seq counter survives the compaction (deltas list is empty now)
+    assert eng.reader.cat.next_delta_seq() == seq_before
+    assert eng.append_docs(b2, batch_key="c2") is not None
+    rows = [r.asDict() for r in full.collect()]
+    oracle = OracleIndex(
+        [
+            build_oracle_doc(
+                r["doc_id"], r, TEST_CONFIG,
+                doc_ref=f'{r["repo"]}/{r["path"]}/{r["commit"]}',
+            )
+            for r in rows
+        ],
+        TEST_CONFIG,
+    )
+    _parity(spark, eng, oracle, QUERIES[:3], scored=True)
+    assert eng.reader.docs().count() == 240
+    # compact once more and stay exact
+    assert eng.compact() is not None
+    _parity(spark, eng, oracle, QUERIES[:3], scored=True)
+
+
+def F_col_mod(df):
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.col("doc_id"), F.lit(2))
+
+
+def test_streaming_updates_live_index(spark, tmp_path_factory):
+    """start_incremental(update_index=True): docs arriving on the stream
+    become searchable in the persistent index (the round-2 gap: streamed
+    docs were categorised but invisible to later search())."""
+    import time
+
+    from ds_discovery_opensearch_taxonomy_spark.streaming.incremental import (
+        start_incremental,
+    )
+
+    out = tmp_path_factory.mktemp("stream_idx")
+    base = with_doc_ids(synthesize_corpus(spark, 80))
+    build_index(spark, base, str(out / "idx"), TEST_CONFIG)
+    eng = TaxonomyEngine(spark, str(out / "idx"), TEST_CONFIG)
+    # stream source: one parquet file of new docs with novel content
+    new = spark.createDataFrame(
+        [
+            ("orgX/repoX", f"p/new{i}", f"cafe{i:036x}", "python",
+             "quetzalcoatl archive shipment ledger entry")
+            for i in range(7)
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    src = out / "incoming"
+    new.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(new.schema).parquet(str(src))
+    q = start_incremental(eng, stream, str(out / "ckpt"), update_index=True)
+    q.awaitTermination(120)
+    # streamed docs are now searchable in the LIVE index
+    res = run_categories(
+        spark, eng.reader, [("S", '"quetzalcoatl" AND "ledger"')], scored=False
+    ).collect()
+    assert len(res) == 7
+    assert eng.reader.docs().count() == 87
+    # and their results were merged into the results table too
+    got = {r["doc_id"] for r in eng.results().collect()}
+    assert len(got) == 7  # the stream categorised exactly the new docs

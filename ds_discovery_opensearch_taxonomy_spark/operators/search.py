@@ -206,6 +206,15 @@ class IndexReader:
             df.unpersist()
         self._expansion_persists.clear()
         self.expansion_cache.clear()
+        for df in getattr(self, "_terms_df_cache", {}).values():
+            df.unpersist()
+        if hasattr(self, "_terms_df_cache"):
+            self._terms_df_cache.clear()
+        for bcasts in getattr(self, "_bcast_cache", {}).values():
+            for b_ in bcasts:
+                b_.unpersist()
+        if hasattr(self, "_bcast_cache"):
+            self._bcast_cache.clear()
 
     # -- dictionary expansion -------------------------------------------------
 

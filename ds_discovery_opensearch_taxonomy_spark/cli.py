@@ -42,6 +42,13 @@ def make_spark(
         # input frames bounded (~55 MB of 1.7 KB docs) while 3x-ing the
         # builder's vectorization granularity
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
+        # AQE coalesces the per-(chunk, band) eval exchange by SIZE, but
+        # eval groups are CPU-bound (phrase/positions work on compressed
+        # blocks): the default 1 MB floor folded a heavy single query's 16
+        # bands into 1-2 tasks (measured 1.4 s -> 0.76 s on the largest
+        # fixture query with a 16 KB floor; parallelismFirst then keeps
+        # partitions).  Large shuffles still coalesce normally.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.ui.enabled", "false")
     )
     if shuffle_partitions:

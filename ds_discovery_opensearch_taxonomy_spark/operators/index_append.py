@@ -260,7 +260,19 @@ def append_batch(
         # No heavy-term salting: a batch's per-term df is bounded by the
         # batch itself, and delta ords share their top bits so ord-top-bit
         # salts cannot split them — accumulated skew is compaction's job.
-        enc_avgdl = cat.get_meta("encode_avgdl") or {}
+        enc_avgdl = cat.get_meta("encode_avgdl")
+        if enc_avgdl is None:
+            # pre-round-3 index without the pinned encode avgdl: pin the
+            # CURRENT stats now (defaulting to 1.0 would UNDERESTIMATE
+            # max_norm — tf_norm shrinks as avgdl shrinks — and unsafe
+            # bounds break top-k pruning exactness)
+            enc_avgdl = {
+                r["field"]: float(r["avgdl"])
+                for r in spark.read.parquet(
+                    cat.path(IndexCatalog.DOC_STATS)
+                ).collect()
+            }
+            cat.set_meta("encode_avgdl", enc_avgdl)
         avgdl_ord = np.array(
             [float(enc_avgdl.get(fn, 1.0)) for fn in field_names],
             dtype=np.float64,

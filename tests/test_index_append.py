@@ -311,3 +311,37 @@ def test_streaming_updates_live_index(spark, tmp_path_factory):
     # and their results were merged into the results table too
     got = {r["doc_id"] for r in eng.results().collect()}
     assert len(got) == 7  # the stream categorised exactly the new docs
+
+
+def test_append_pins_encode_avgdl_when_missing(spark, tmp_path_factory):
+    """Appending to a pre-round-3 index (no pinned encode_avgdl) must pin
+    the CURRENT stats, not default to 1.0 — an avgdl=1 encode underestimates
+    max_norm and breaks top-k pruning exactness."""
+    import json
+
+    out = tmp_path_factory.mktemp("oldmeta")
+    base = with_doc_ids(synthesize_corpus(spark, 120))
+    full = with_doc_ids(synthesize_corpus(spark, 160))
+    build_index(spark, base, str(out), TEST_CONFIG)
+    # simulate a pre-round-3 manifest
+    mp = out / "manifest.json"
+    m = json.loads(mp.read_text())
+    m["meta"].pop("encode_avgdl", None)
+    mp.write_text(json.dumps(m))
+    eng = TaxonomyEngine(spark, str(out), TEST_CONFIG)
+    extra = full.join(base.select("doc_id"), "doc_id", "left_anti")
+    assert eng.append_docs(extra, batch_key="old") is not None
+    pinned = eng.reader.cat.get_meta("encode_avgdl")
+    assert pinned and all(v > 1.0 for v in pinned.values())
+    rows = [r.asDict() for r in full.collect()]
+    oracle = OracleIndex(
+        [
+            build_oracle_doc(
+                r["doc_id"], r, TEST_CONFIG,
+                doc_ref=f'{r["repo"]}/{r["path"]}/{r["commit"]}',
+            )
+            for r in rows
+        ],
+        TEST_CONFIG,
+    )
+    _parity(spark, eng, oracle, QUERIES[:3], scored=True, top_k=5)

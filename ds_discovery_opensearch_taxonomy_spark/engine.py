@@ -159,7 +159,23 @@ class TaxonomyEngine:
         """Categorise ad-hoc documents doc-at-a-time (reference daily-update,
         CategoriseDocAmazonSqsConsumer.cs:24-91) with GLOBAL BM25 stats
         pulled from the index (df from the dictionary, N/avgdl from
-        doc_stats) so single-doc scores match the batch path."""
+        doc_stats) so single-doc scores match the batch path.
+
+        DRIVER-SIDE by design: this mirrors the reference's doc-at-a-time
+        single-doc API and is meant for ad-hoc lists of at most a few
+        hundred docs.  It does NOT distribute — for bulk work use
+        ``categorise_all`` (whole index) or ``streaming.start_incremental``
+        (micro-batched vectorized kernel), both of which scale with the
+        cluster."""
+        if len(rows) > 1000:
+            import warnings
+
+            warnings.warn(
+                f"categorise_docs evaluates {len(rows)} docs in a "
+                "driver-side Python loop; use categorise_all or the "
+                "streaming path for bulk categorisation",
+                stacklevel=2,
+            )
         pairs = self._category_pairs(subset)
         compiled, virtual, df_map, _buckets, _tids = search_ops.compile_queries(
             self.reader, pairs, self.config

@@ -68,13 +68,26 @@ from ds_discovery_opensearch_taxonomy_spark.sources.corpus import with_doc_ids
 #: delta block salts live above every main salt (config.max_salts <= 2^16)
 #: so (salt, blk_seq) ordering puts delta generations after the main index
 #: and in append order — which IS ascending ord order, keeping the
-#: k-way-merge-free concatenation decode exact.  int32 headroom: ~32k
-#: batches between compactions.
+#: k-way-merge-free concatenation decode exact.
 DELTA_SALT_BASE = 1 << 20
 _SALT_STRIDE = 1 << 16
+#: the salt column is int32; batch seqs are monotone for the index's whole
+#: LIFETIME (compaction keeps per-batch salts inside the main table, so a
+#: reused seq would break the concatenation order) — past this seq the salt
+#: would wrap negative and silently corrupt the global decode order, so
+#: append_batch refuses LOUDLY instead (a streaming deployment appending
+#: once per micro-batch hits this in ~32k batches: rebuild the index).
+MAX_DELTA_SEQ = ((1 << 31) - 1 - DELTA_SALT_BASE) // _SALT_STRIDE
 
 
 def delta_salt(seq: int) -> int:
+    if seq > MAX_DELTA_SEQ:
+        raise RuntimeError(
+            f"delta batch seq {seq} exceeds the int32 salt headroom "
+            f"(max {MAX_DELTA_SEQ}); the index has exhausted its append "
+            "generations — rebuild it (build_index on the live corpus) to "
+            "reset the salt space"
+        )
     return DELTA_SALT_BASE + seq * _SALT_STRIDE
 
 
@@ -149,15 +162,35 @@ def append_batch(
     or empty batch."""
     if batch_key in cat.deltas():
         return None  # at-least-once replay: already committed
+    field_names = [f.name for f in config.fields]
+    _ensure_stats_base(spark, cat, field_names)
     manifest = cat.manifest()
     band_bits = int(cat.get_meta("band_bits", 0))
     ord_bits = int(cat.get_meta("ord_bits", 1))
     ord_shift = max(ord_bits - band_bits, 0)
     band_size = 1 << ord_shift
     base_n = int(manifest["stages"]["ords"]["metrics"]["n_docs"])
-    next_ord = int(cat.get_meta("next_ord", base_n))
+    # next_ord is committed ATOMICALLY with the delta (commit_delta folds it
+    # into the same manifest write), and is additionally re-derivable from
+    # the committed deltas themselves (max base_ord + n_docs) — so a
+    # manifest written by an older version that persisted next_ord in a
+    # SEPARATE post-commit write (crash window: batch committed, next_ord
+    # stale -> ord-range reuse) self-repairs here instead of silently
+    # reusing committed ordinals.
+    next_ord = max(
+        int(cat.get_meta("next_ord", base_n)),
+        base_n,
+        max(
+            (
+                int(d["base_ord"]) + int(d["n_docs"])
+                for d in cat.deltas().values()
+            ),
+            default=0,
+        ),
+    )
     base = -(-next_ord // band_size) * band_size  # band-aligned
     seq = cat.next_delta_seq()
+    delta_salt(seq)  # fail fast on int32 salt exhaustion (MAX_DELTA_SEQ)
 
     corpus = (
         with_doc_ids(batch_df) if "doc_id" not in batch_df.columns else batch_df
@@ -195,7 +228,6 @@ def append_batch(
         # -- packed staging runs (one tokenize pass, reused 3x) ---------------
         from pyspark.sql import Observation
 
-        field_names = [f.name for f in config.fields]
         tokens = tokenize_corpus(corpus, config, offsets, expected=expected)
         staged = tokens.withColumn(
             "bucket", F.pmod(F.col("term_id"), F.lit(config.n_term_buckets))
@@ -331,11 +363,43 @@ def append_batch(
             "sum_dl": sum_dl,
             "bytes": cat.table_bytes(f"{IndexCatalog.DELTA_BLOCKS}/batch={seq}"),
         }
+        # ONE manifest write commits the batch AND advances next_ord — a
+        # crash can never leave a committed batch with a stale ord cursor
         cat.commit_delta(batch_key, metrics)
-        cat.set_meta("next_ord", base + n_new)
         return metrics
     finally:
         corpus.unpersist()
+
+
+def _ensure_stats_base(
+    spark: SparkSession, cat: IndexCatalog, field_names: list[str]
+) -> None:
+    """Pin ``meta.stats_base`` for indexes whose staging stage metrics carry
+    no ``sum_dl`` (builds resumed from an older staging commit — the same
+    case build_index's doc_stats fallback supports).  Without the pin,
+    ``_stats_totals``'s base sum_dl would be ``{}`` and the first append
+    would rewrite doc_stats with delta-only sum_dl against the FULL n_docs —
+    collapsing avgdl and silently corrupting every BM25 score.  The base is
+    recomputed exactly the way build_index derives it: one aggregation over
+    the committed staging runs (cf summed per field ordinal).  Pinned ONCE,
+    before the first append commits; appends and compactions then fold
+    deltas on top of it."""
+    m = cat.manifest()
+    if m.get("meta", {}).get("stats_base") is not None:
+        return
+    if m["stages"].get("staging", {}).get("metrics", {}).get("sum_dl"):
+        return  # normal path: _stats_totals reads the staging metrics
+    staged = spark.read.parquet(cat.path(IndexCatalog.STAGING))
+    sum_dl = {fn: 0 for fn in field_names}
+    for r in (
+        staged.where(F.col("kind") == 0)
+        .groupBy("ford")
+        .agg(F.sum("cf").alias("s"))
+        .collect()
+    ):
+        sum_dl[field_names[int(r["ford"])]] = int(r["s"])
+    n = int(m["stages"]["ords"]["metrics"]["n_docs"])
+    cat.set_meta("stats_base", {"n_docs": n, "sum_dl": sum_dl})
 
 
 def _stats_totals(cat: IndexCatalog, field_names: list[str]) -> dict:

@@ -112,8 +112,12 @@ class IndexReader:
         #: per-(virtual key, band_bits) materialized+persisted block DFs —
         #: a metadata clause's doc set is immutable for this index snapshot,
         #: so each clause pays its docs-table scan once per reader, not once
-        #: per query run
-        self._virtual_cache: dict = {}
+        #: per query run.  LRU-bounded with unpersist-on-evict: the API's
+        #: extra_filters path inserts one entry per DISTINCT filter clause,
+        #: so a long-lived reader serving varied filters must not accumulate
+        #: persisted storage until refresh().
+        self._virtual_cache: OrderedDict = OrderedDict()
+        self._virtual_cache_max = 64
         #: repr(construct) -> ExpansionInfo: DISTRIBUTED wildcard/term-range
         #: expansions (term_id DataFrame + bounded driver stats), cached per
         #: reader — see expand_constructs
@@ -825,6 +829,11 @@ def build_virtual_blocks(
                 band_bits,
             ).persist()
             reader._virtual_cache[ckey] = cached
+            while len(reader._virtual_cache) > reader._virtual_cache_max:
+                _, old_v = reader._virtual_cache.popitem(last=False)
+                old_v.unpersist()
+        else:
+            reader._virtual_cache.move_to_end(ckey)
         parts.append(cached)
     vdf = parts[0]
     for p in parts[1:]:

@@ -121,9 +121,15 @@ class IndexCatalog:
         return max(from_meta, from_deltas)
 
     def commit_delta(self, key: str, metrics: dict) -> None:
+        """ONE atomic write commits the batch AND advances both cursors
+        (next_delta_seq, next_ord) — persisting either in a separate write
+        would open a crash window where a committed batch's ord range / salt
+        gets reused by the next append."""
         m = self.manifest()
         m.setdefault("deltas", {})[key] = {"ts": time.time(), **metrics}
-        m.setdefault("meta", {})["next_delta_seq"] = int(metrics["seq"]) + 1
+        meta = m.setdefault("meta", {})
+        meta["next_delta_seq"] = int(metrics["seq"]) + 1
+        meta["next_ord"] = int(metrics["base_ord"]) + int(metrics["n_docs"])
         self._write_manifest(m)
 
     def clear_deltas(

@@ -138,3 +138,21 @@ def test_scoped_facets(built, spark):
         r["count"] for r in eng.facets("lang").collect()
     )
     assert total == 200
+
+
+def test_virtual_cache_is_lru_bounded(built, spark):
+    """The per-reader virtual-block cache evicts (and unpersists) its
+    oldest entries past the cap — an API serving varied filter clauses
+    must not accumulate persisted storage for the reader's lifetime."""
+    eng, _, _ = built
+    reader = eng.reader
+    reader._virtual_cache_max = 2
+    for langs in (["python"], ["sql"], ["go"], ["rust"]):
+        eng.search('"women"', limit=5, filters={"lang": langs}).collect()
+    assert len(reader._virtual_cache) <= 2
+    # evicted entries were unpersisted, survivors still persisted
+    for df in reader._virtual_cache.values():
+        assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    # cache hits still return correct results after evictions
+    n = eng.search('"women"', limit=500, filters={"lang": ["python"]}).count()
+    assert n > 0

@@ -51,6 +51,7 @@ from ds_discovery_opensearch_taxonomy_spark.config import EngineConfig
 from ds_discovery_opensearch_taxonomy_spark.operators.index_build import (
     BLOCKS_SCHEMA,
     DOCMAP_SCHEMA,
+    INDEX_FORMAT_VERSION,
     TOMBSTONE_FORD,
     _MERGE_TARGET_BYTES,
     _salt_packed_runs,
@@ -162,6 +163,13 @@ def append_batch(
     or empty batch."""
     if batch_key in cat.deltas():
         return None  # at-least-once replay: already committed
+    fmt = cat.get_meta("format")
+    if fmt != INDEX_FORMAT_VERSION:
+        raise RuntimeError(
+            f"index was built with on-disk format {fmt}, appends require "
+            f"{INDEX_FORMAT_VERSION} — rebuild the index (mixing staging "
+            "stream formats across versions would corrupt the merge)"
+        )
     field_names = [f.name for f in config.fields]
     _ensure_stats_base(spark, cat, field_names)
     manifest = cat.manifest()

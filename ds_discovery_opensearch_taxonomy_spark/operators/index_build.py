@@ -56,8 +56,25 @@ from ds_discovery_opensearch_taxonomy_spark.sources.corpus import with_doc_ids
 #: rows move the same bytes as ~|vocab per split| rows with binary blobs.
 #:
 #: kind 0 = posting run; kind 1 = per-doc field-length sidecar (one row
-#: per (split, field): ord_bytes = split doc ords, dl_bytes = per-doc dl)
-#: consumed by the DOCMAP stage.
+#: per (split, field): ord_bytes = split doc ords <i8, dl_bytes = per-doc
+#: dl <i4 — sidecars keep the WIDE formats) consumed by the DOCMAP stage.
+#:
+#: Round-4 NARROW run streams (kind 0).  The postings merge is memory-
+#: bandwidth-bound (BENCH.md: 0.48 efficiency 4->16 at a 0.955 ceiling —
+#: ~2 GB of run payload through UnsafeRow/lz4/Arrow several times), so the
+#: per-posting fixed-width payload drops from 20 B to 9 B with plain
+#: vectorized casts (NOT varbyte — varbyte on these streams was a measured
+#: 1.6x CPU regression, BENCH.md round-2 negative results):
+#:   * ord_bytes  <u4 x n — ords RELATIVE to min_ord (a run covers one
+#:     input split, so the range always fits 32 bits; asserted at pack)
+#:   * tf_bytes   <u2 x n, or <u4 if the run holds any tf > 65535
+#:     (wflags bit 0) — widths are per-RUN so slicing stays trivial
+#:   * dl_bytes   u8 x n — log-grid code whose decode is a LOWER bound of
+#:     the true dl (dl_code_of).  Staging dl feeds ONLY the per-block
+#:     max_norm upper bound (exact query-time dls come from the DOCMAP
+#:     sidecar); tf_norm is decreasing in dl, so a lower bound keeps the
+#:     bound VALID and costs <~4% looseness in block-max pruning.
+#:   * pos_lens   <u2 x n, or <u4 (wflags bit 1)
 TOKENS_SCHEMA = T.StructType(
     [
         T.StructField("kind", T.ByteType(), False),
@@ -74,16 +91,100 @@ TOKENS_SCHEMA = T.StructType(
         # ~2^64/df for hashed ids.  The external doc_id is recovered per
         # eval band via the DOCMAP table.
         T.StructField("min_ord", T.LongType(), False),
-        T.StructField("ord_bytes", T.BinaryType(), False),  # <i8 x n
-        T.StructField("tf_bytes", T.BinaryType(), False),  # <i4 x n
-        T.StructField("dl_bytes", T.BinaryType(), False),  # <i4 x n
-        # per-posting position-stream byte lengths (<i4 x n) + the run's
-        # concatenated delta+varbyte position streams (each posting's chain
-        # restarts absolute, so runs concatenate byte-wise)
+        T.StructField("ord_bytes", T.BinaryType(), False),
+        T.StructField("tf_bytes", T.BinaryType(), False),
+        T.StructField("dl_bytes", T.BinaryType(), False),
+        # per-posting position-stream byte lengths + the run's concatenated
+        # delta+varbyte position streams (each posting's chain restarts
+        # absolute, so runs concatenate byte-wise)
         T.StructField("pos_lens", T.BinaryType(), False),
         T.StructField("pos_data", T.BinaryType(), False),
+        # per-run stream width flags (see module comment); 0 on sidecars
+        T.StructField("wflags", T.ByteType(), False),
     ]
 )
+
+#: wflags bits: tf / pos_lens streams are <u4 instead of <u2
+WIDE_TF = 1
+WIDE_PL = 2
+
+#: dl quantization grid for the staging dl stream: code c decodes to
+#: _DL_BASE**c, a LOWER bound of the true dl (see dl_code_of)
+_DL_BASE = 1.08
+_DL_LUT = np.power(_DL_BASE, np.arange(256), dtype=np.float64)
+
+
+def dl_code_of(dl: np.ndarray) -> np.ndarray:
+    """Integer field lengths (>= 1) -> uint8 grid codes with the invariant
+    ``_DL_LUT[code] <= dl`` (so block max_norm stays a valid upper bound).
+    dl above the grid top (~3.4e8) clips to 255 — still a lower bound."""
+    d = np.maximum(np.asarray(dl, dtype=np.float64), 1.0)
+    code = np.clip(
+        (np.log(d) * (1.0 / np.log(_DL_BASE))).astype(np.int64), 0, 255
+    )
+    # float-rounding guard: never decode ABOVE the true dl
+    code -= _DL_LUT[code] > d
+    return np.clip(code, 0, 255).astype(np.uint8)
+
+
+def _width_stream(
+    values: np.ndarray, bounds: np.ndarray, wide: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Run-major non-negative ints -> (byte stream, per-run BYTE bounds):
+    narrow runs store <u2, wide ones <u4.  ``bounds`` are the k+1 posting
+    bounds; ``wide`` flags the k runs.  All-narrow / all-wide fast paths
+    are single casts; the mixed path is two ragged scatters."""
+    from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
+        _ragged_gather,
+    )
+
+    if not wide.any():
+        return values.astype("<u2").tobytes(), bounds * 2
+    if wide.all():
+        return values.astype("<u4").tobytes(), bounds * 4
+    ns = np.diff(bounds)
+    w_run = np.where(wide, 4, 2).astype(np.int64)
+    byte_bounds = np.zeros(len(bounds), dtype=np.int64)
+    np.cumsum(ns * w_run, out=byte_bounds[1:])
+    out = np.empty(int(byte_bounds[-1]), dtype=np.uint8)
+    for width, mask, dt in ((2, ~wide, "<u2"), (4, wide, "<u4")):
+        if not mask.any():
+            continue
+        bidx = _ragged_gather(byte_bounds[:-1][mask], ns[mask] * width)
+        vidx = _ragged_gather(bounds[:-1][mask], ns[mask])
+        out[bidx] = np.frombuffer(
+            values[vidx].astype(dt).tobytes(), dtype=np.uint8
+        )
+    return out.tobytes(), byte_bounds
+
+
+def _width_decode(
+    stream: bytes, ns: np.ndarray, wide: np.ndarray
+) -> np.ndarray:
+    """Inverse of :func:`_width_stream` over CONCATENATED rows: ``ns`` and
+    ``wide`` are per-row posting counts / width flags."""
+    from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
+        _ragged_gather,
+    )
+
+    if not wide.any():
+        return np.frombuffer(stream, dtype="<u2").astype(np.int64)
+    if wide.all():
+        return np.frombuffer(stream, dtype="<u4").astype(np.int64)
+    raw = np.frombuffer(stream, dtype=np.uint8)
+    w_run = np.where(wide, 4, 2).astype(np.int64)
+    byte_starts = np.concatenate([[0], np.cumsum(ns * w_run)[:-1]])
+    val_starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    out = np.empty(int(ns.sum()), dtype=np.int64)
+    for width, mask, dt in ((2, ~wide, "<u2"), (4, wide, "<u4")):
+        if not mask.any():
+            continue
+        bidx = _ragged_gather(byte_starts[mask], ns[mask] * width)
+        vidx = _ragged_gather(val_starts[mask], ns[mask])
+        out[vidx] = np.frombuffer(raw[bidx].tobytes(), dtype=dt).astype(
+            np.int64
+        )
+    return out
 
 
 # re-exported for compatibility; lives with the vectorized tokenizer now
@@ -97,8 +198,10 @@ from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (  # noqa
 TOKENIZE_CHUNK_DOCS = 2048
 
 #: bump when the on-disk table layout changes incompatibly (4 = packed
-#: staging runs + df-free blocks); build_index refuses to resume across versions
-INDEX_FORMAT_VERSION = 4
+#: staging runs + df-free blocks; 5 = narrow run streams: rel-u32 ords,
+#: width-flagged u16 tf/pos_lens, u8 quantized dl); build_index refuses to
+#: resume across versions and append_batch refuses to append across them
+INDEX_FORMAT_VERSION = 5
 
 #: posting blocks are keyed by the numeric ``term_id`` (see term_id_of) — the
 #: heavy build/query paths stay ALL-NUMERIC (term strings live only in the
@@ -240,6 +343,7 @@ def _tokens_arrow_schema():
             ("dl_bytes", pa.binary()),
             ("pos_lens", pa.binary()),
             ("pos_data", pa.binary()),
+            ("wflags", pa.int8()),
         ]
     )
 
@@ -292,6 +396,23 @@ def _pack_field_runs(ford: int, a: dict, cache) -> "object":
     terms = [tid_term[int(t)] for t in run_tids]
     k = len(rs)
     pos_cum = np.concatenate([[0], np.cumsum(lens_s)]).astype(np.int64)
+    # narrow streams (see TOKENS_SCHEMA comment): rel-u32 ords, width-
+    # flagged u16/u32 tf + pos_lens, u8 quantized-lower-bound dl
+    ns64 = ns.astype(np.int64)
+    rel = ord_s - np.repeat(ord_s[rs], ns64)
+    if n and int(rel.max()) >= 1 << 32:
+        raise ValueError(
+            "posting run ord span exceeds 32 bits — input split too large "
+            "for the rel-u32 staging format (split the scan finer)"
+        )
+    tf64 = tf_s.astype(np.int64)
+    wide_tf = np.maximum.reduceat(tf64, rs) > 0xFFFF
+    wide_pl = np.maximum.reduceat(lens_s, rs) > 0xFFFF
+    tf_stream, tf_bounds = _width_stream(tf64, bounds, wide_tf)
+    pl_stream, pl_bounds = _width_stream(lens_s, bounds, wide_pl)
+    wflags = (
+        wide_tf.astype(np.int8) * WIDE_TF + wide_pl.astype(np.int8) * WIDE_PL
+    )
     return pa.RecordBatch.from_arrays(
         [
             pa.array(np.zeros(k, dtype=np.int8), pa.int8()),
@@ -301,11 +422,12 @@ def _pack_field_runs(ford: int, a: dict, cache) -> "object":
             pa.array(ns, pa.int32()),
             pa.array(cfs, pa.int64()),
             pa.array(ord_s[rs], pa.int64()),
-            _binary_from_stream(ord_s.astype("<i8").tobytes(), bounds * 8),
-            _binary_from_stream(tf_s.astype("<i4").tobytes(), bounds * 4),
-            _binary_from_stream(dl_s.astype("<i4").tobytes(), bounds * 4),
-            _binary_from_stream(lens_s.astype("<i4").tobytes(), bounds * 4),
+            _binary_from_stream(rel.astype("<u4").tobytes(), bounds * 4),
+            _binary_from_stream(tf_stream, tf_bounds),
+            _binary_from_stream(dl_code_of(dl_s).tobytes(), bounds.copy()),
+            _binary_from_stream(pl_stream, pl_bounds),
             _binary_from_stream(pos_s.tobytes(), pos_cum[bounds]),
+            pa.array(wflags, pa.int8()),
         ],
         schema=_tokens_arrow_schema(),
     )
@@ -333,6 +455,7 @@ def _pack_sentinel(ford: int, s: dict) -> "object":
             pa.array([dls.astype("<i4").tobytes()], pa.binary()),
             pa.array([b""], pa.binary()),
             pa.array([b""], pa.binary()),
+            pa.array([0], pa.int8()),
         ],
         schema=_tokens_arrow_schema(),
     )
@@ -614,7 +737,10 @@ def _build_blocks_batch(
     slt = c["salt"].astype(np.int64)
     doc_ids = c["ord"].astype(np.int64)  # dense ords (block id space)
     tfs = c["tf"].astype(np.int64)
-    dls = c["dl"].astype(np.int64)
+    # quantized LOWER-bound dls (float grid values, see dl_code_of): only
+    # max_norm consumes these — tf_norm is decreasing in dl, so the block
+    # upper bound stays valid, just <=~4% looser than with exact dls
+    dls = c["dl"].astype(np.float64)
     ford = c["ford"].astype(np.int64)
     bands = _band_of(doc_ids, ord_shift)
 
@@ -693,6 +819,7 @@ SALTED_SCHEMA = T.StructType(
         T.StructField("dl_bytes", T.BinaryType(), False),
         T.StructField("pos_lens", T.BinaryType(), False),
         T.StructField("pos_data", T.BinaryType(), False),
+        T.StructField("wflags", T.ByteType(), False),
     ]
 )
 
@@ -795,6 +922,7 @@ def _salt_packed_runs(
                         light.column(idx["dl_bytes"]),
                         light.column(idx["pos_lens"]),
                         light.column(idx["pos_data"]),
+                        light.column(idx["wflags"]),
                     ],
                     names=out_names,
                 )
@@ -804,21 +932,28 @@ def _salt_packed_runs(
             bits = heavy_bits[pos[is_heavy]]
             h_tid = hv.column(idx["term_id"]).to_pylist()
             h_ford = hv.column(idx["ford"]).to_pylist()
+            h_mo = hv.column(idx["min_ord"]).to_pylist()
             h_ob = hv.column(idx["ord_bytes"]).to_pylist()
             h_tb = hv.column(idx["tf_bytes"]).to_pylist()
             h_db = hv.column(idx["dl_bytes"]).to_pylist()
             h_pl = hv.column(idx["pos_lens"]).to_pylist()
             h_pd = hv.column(idx["pos_data"]).to_pylist()
+            h_wf = hv.column(idx["wflags"]).to_pylist()
             rows = {k: [] for k in out_names}
             for i in range(hv.num_rows):
-                ords = np.frombuffer(h_ob[i], dtype="<i8")
+                rel = np.frombuffer(h_ob[i], dtype="<u4").astype(np.int64)
+                ords = int(h_mo[i]) + rel
+                wtf = 4 if (h_wf[i] & WIDE_TF) else 2
+                wpl = 4 if (h_wf[i] & WIDE_PL) else 2
                 shift = max(ob - int(bits[i]), 0)
                 salts = (ords >> shift).astype(np.int64)
                 cut = np.concatenate(
                     [[0], np.flatnonzero(salts[1:] != salts[:-1]) + 1,
                      [len(ords)]]
                 )
-                pl = np.frombuffer(h_pl[i], dtype="<i4").astype(np.int64)
+                pl = np.frombuffer(
+                    h_pl[i], dtype="<u2" if wpl == 2 else "<u4"
+                ).astype(np.int64)
                 pc_off = np.concatenate([[0], np.cumsum(pl)])
                 for j0, j1 in zip(cut[:-1], cut[1:]):
                     j0, j1 = int(j0), int(j1)
@@ -827,13 +962,20 @@ def _salt_packed_runs(
                     rows["salt"].append(int(salts[j0]))
                     rows["n"].append(j1 - j0)
                     rows["min_ord"].append(int(ords[j0]))
-                    rows["ord_bytes"].append(h_ob[i][j0 * 8 : j1 * 8])
-                    rows["tf_bytes"].append(h_tb[i][j0 * 4 : j1 * 4])
-                    rows["dl_bytes"].append(h_db[i][j0 * 4 : j1 * 4])
-                    rows["pos_lens"].append(h_pl[i][j0 * 4 : j1 * 4])
+                    # sub-run streams re-base rel ords on their own first
+                    # ord; tf/dl/pos widths are inherited from the parent
+                    # run (sub-run maxima can only shrink, so the flags
+                    # stay valid — at worst a few wastefully-wide bytes)
+                    rows["ord_bytes"].append(
+                        (rel[j0:j1] - rel[j0]).astype("<u4").tobytes()
+                    )
+                    rows["tf_bytes"].append(h_tb[i][j0 * wtf : j1 * wtf])
+                    rows["dl_bytes"].append(h_db[i][j0:j1])
+                    rows["pos_lens"].append(h_pl[i][j0 * wpl : j1 * wpl])
                     rows["pos_data"].append(
                         h_pd[i][int(pc_off[j0]) : int(pc_off[j1])]
                     )
+                    rows["wflags"].append(h_wf[i])
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(rows["term_id"], pa.int64()),
@@ -846,13 +988,14 @@ def _salt_packed_runs(
                     pa.array(rows["dl_bytes"], pa.binary()),
                     pa.array(rows["pos_lens"], pa.binary()),
                     pa.array(rows["pos_data"], pa.binary()),
+                    pa.array(rows["wflags"], pa.int8()),
                 ],
                 names=out_names,
             )
 
     cols = [
         "term_id", "ford", "n", "min_ord", "ord_bytes", "tf_bytes",
-        "dl_bytes", "pos_lens", "pos_data",
+        "dl_bytes", "pos_lens", "pos_data", "wflags",
     ]
     return staged.select(*cols).mapInArrow(run, SALTED_SCHEMA)
 
@@ -908,18 +1051,27 @@ def make_merge_builder(
         )
         tbl = tbl.take(pa.array(order))
         ns = tbl["n"].to_numpy().astype(np.int64)
-        pos_lens = np.frombuffer(
-            _packed_stream(tbl, "pos_lens"), dtype="<i4"
-        ).astype(np.int64)
+        wf = tbl["wflags"].to_numpy().astype(np.int64)
+        pos_lens = _width_decode(
+            _packed_stream(tbl, "pos_lens"), ns, (wf & WIDE_PL) != 0
+        )
+        # rel-u32 ords -> absolute: one repeat of the per-run min_ord
+        rel = np.frombuffer(_packed_stream(tbl, "ord_bytes"), dtype="<u4")
         cols = {
             "term_id": np.repeat(tbl["term_id"].to_numpy(), ns),
             "salt": np.repeat(tbl["salt"].to_numpy(), ns),
             "ford": np.repeat(tbl["ford"].to_numpy(), ns),
-            "ord": np.frombuffer(
-                _packed_stream(tbl, "ord_bytes"), dtype="<i8"
+            "ord": rel
+            + np.repeat(tbl["min_ord"].to_numpy().astype(np.int64), ns),
+            "tf": _width_decode(
+                _packed_stream(tbl, "tf_bytes"), ns, (wf & WIDE_TF) != 0
             ),
-            "tf": np.frombuffer(_packed_stream(tbl, "tf_bytes"), dtype="<i4"),
-            "dl": np.frombuffer(_packed_stream(tbl, "dl_bytes"), dtype="<i4"),
+            # u8 grid codes -> float LOWER-bound dls (feeds max_norm only;
+            # exact query-time dls come from the DOCMAP sidecar)
+            "dl": np.take(
+                _DL_LUT,
+                np.frombuffer(_packed_stream(tbl, "dl_bytes"), dtype=np.uint8),
+            ),
             "pos_off": np.concatenate([[0], np.cumsum(pos_lens)]).astype(
                 np.int64
             ),

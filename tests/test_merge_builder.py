@@ -18,25 +18,29 @@ from ds_discovery_opensearch_taxonomy_spark.operators import index_build as IB
 
 
 def _packed_run(term_id, ford, ords, tfs, dls, plists, salt=0):
-    """One SALTED_SCHEMA row from per-posting python lists."""
+    """One SALTED_SCHEMA row from per-posting python lists (round-4 narrow
+    format: rel-u32 ords, width-flagged tf/pos_lens, u8 quantized dl)."""
     ords = np.asarray(ords, dtype=np.int64)
-    tfs = np.asarray(tfs, dtype=np.int32)
-    dls = np.asarray(dls, dtype=np.int32)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
     flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in plists])
     starts = np.cumsum([0] + [len(p) for p in plists])[:-1]
     pos_data, bounds = codec.encode_position_groups(flat, starts)
-    lens = np.diff(bounds).astype(np.int32)
+    lens = np.diff(bounds).astype(np.int64)
+    wide_tf = bool(tfs.max() > 0xFFFF)
+    wide_pl = bool(lens.max() > 0xFFFF)
     return {
         "term_id": term_id,
         "ford": ford,
         "salt": salt,
         "n": len(ords),
         "min_ord": int(ords[0]),
-        "ord_bytes": ords.astype("<i8").tobytes(),
-        "tf_bytes": tfs.astype("<i4").tobytes(),
-        "dl_bytes": dls.astype("<i4").tobytes(),
-        "pos_lens": lens.astype("<i4").tobytes(),
+        "ord_bytes": (ords - ords[0]).astype("<u4").tobytes(),
+        "tf_bytes": tfs.astype("<u4" if wide_tf else "<u2").tobytes(),
+        "dl_bytes": IB.dl_code_of(dls).tobytes(),
+        "pos_lens": lens.astype("<u4" if wide_pl else "<u2").tobytes(),
         "pos_data": pos_data,
+        "wflags": wide_tf * IB.WIDE_TF + wide_pl * IB.WIDE_PL,
     }
 
 
@@ -47,6 +51,7 @@ def _batch(rows):
         "n": pa.int32(), "min_ord": pa.int64(), "ord_bytes": pa.binary(),
         "tf_bytes": pa.binary(), "dl_bytes": pa.binary(),
         "pos_lens": pa.binary(), "pos_data": pa.binary(),
+        "wflags": pa.int8(),
     }
     return pa.RecordBatch.from_arrays(
         [pa.array([r[n] for r in rows], types[n]) for n in names],
@@ -110,12 +115,68 @@ def test_max_norm_is_df_independent_tf_norm_max():
     dls = [10, 10, 30]
     r = _packed_run(t, 0, [1, 2, 3], tfs, dls, [[0]] * 3)
     blocks = _run_builder([_batch([r])], block_size=128)
+    # staging dls are quantized to grid LOWER bounds (dl_code_of), so
+    # max_norm is computed from those — and must stay an UPPER bound of
+    # the exact-dl norm max (block-max pruning correctness)
+    dl_lo = IB._DL_LUT[IB.dl_code_of(np.array(dls, np.int64))]
     want = max(
+        scoring.tf_norm(np.array([tf], float), np.array([d]),
+                        10.0, 1.2, 0.75)[0]
+        for tf, d in zip(tfs, dl_lo)
+    )
+    exact = max(
         scoring.tf_norm(np.array([tf], float), np.array([dl], float),
                         10.0, 1.2, 0.75)[0]
         for tf, dl in zip(tfs, dls)
     )
-    assert blocks["max_norm"].iloc[0] == pytest.approx(want)
+    got = blocks["max_norm"].iloc[0]
+    assert got == pytest.approx(want)
+    assert got >= exact - 1e-12
+
+
+def test_dl_codes_are_lower_bounds():
+    dls = np.unique(
+        np.concatenate(
+            [np.arange(1, 4096), (1.09 ** np.arange(1, 180)).astype(np.int64)]
+        )
+    )
+    codes = IB.dl_code_of(dls)
+    lo = IB._DL_LUT[codes]
+    assert (lo <= dls).all()
+    # and tight: within one grid step of the true dl
+    assert (dls <= lo * IB._DL_BASE + 1).all()
+
+
+def test_width_stream_roundtrip_mixed():
+    rng = np.random.default_rng(7)
+    ns = np.array([3, 5, 2, 4], dtype=np.int64)
+    bounds = np.concatenate([[0], np.cumsum(ns)])
+    vals = rng.integers(0, 50, int(ns.sum()), dtype=np.int64)
+    # make runs 1 and 3 wide
+    vals[bounds[1]] = 70_000
+    vals[bounds[3]] = 1 << 20
+    wide = np.array([False, True, False, True])
+    stream, byte_bounds = IB._width_stream(vals, bounds, wide)
+    assert byte_bounds[-1] == 3 * 2 + 5 * 4 + 2 * 2 + 4 * 4
+    got = IB._width_decode(stream, ns, wide)
+    assert got.tolist() == vals.tolist()
+    # per-run byte slices decode independently (the salt-cut contract)
+    for i in range(4):
+        seg = stream[int(byte_bounds[i]):int(byte_bounds[i + 1])]
+        dt = "<u4" if wide[i] else "<u2"
+        assert np.frombuffer(seg, dtype=dt).tolist() == vals[
+            bounds[i]:bounds[i + 1]
+        ].tolist()
+
+
+def test_wide_tf_run_survives_merge():
+    t = 11
+    tfs = [1, 70_000, 3]
+    r = _packed_run(t, 0, [5, 6, 7], tfs, [10, 70_000, 12], [[0]] * 3)
+    assert r["wflags"] & IB.WIDE_TF
+    blocks = _run_builder([_batch([r])], block_size=128)
+    got = codec.varbyte_decode(b"".join(blocks["tfs"]))
+    assert got.tolist() == tfs
 
 
 def test_positions_roundtrip_through_merge():

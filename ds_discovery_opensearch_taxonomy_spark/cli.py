@@ -111,7 +111,48 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--rows", type=int, required=True)
     g.add_argument("--out", required=True)
 
+    # category dimension CRUD (CategoriesController.cs:27-143) — driver-side
+    # document store, no SparkSession needed
+    cc = sub.add_parser("categories")
+    csub = cc.add_subparsers(dest="cat_op", required=True)
+    for name in ("list", "search", "add", "save"):
+        q = csub.add_parser(name)
+        q.add_argument("--index", required=True)
+        if name == "search":
+            q.add_argument("--text", required=True)
+        if name in ("add", "save"):
+            q.add_argument("--title", required=True)
+            q.add_argument("--query", required=True)
+            q.add_argument("--score", type=float, default=0.0)
+            q.add_argument("--locked", action="store_true")
+        if name == "save":
+            q.add_argument("--id", required=True)
+
     args = p.parse_args(argv)
+
+    if args.mode == "categories":
+        from ds_discovery_opensearch_taxonomy_spark.sources.categories import (
+            CategoryStore,
+        )
+
+        store = CategoryStore(args.index)
+        if args.cat_op == "list":
+            print(json.dumps(store.list_all(), indent=1))
+        elif args.cat_op == "search":
+            print(json.dumps(store.find(args.text), indent=1))
+        elif args.cat_op == "add":
+            print(json.dumps(store.add(
+                args.title, args.query, args.score, args.locked
+            )))
+        elif args.cat_op == "save":
+            store.save({
+                "category_id": args.id, "title": args.title,
+                "query_text": args.query, "score": args.score,
+                "locked": args.locked,
+            })
+            print(json.dumps({"saved": args.id}))
+        return 0
+
     spark = make_spark(args.cpus)
 
     from ds_discovery_opensearch_taxonomy_spark.engine import TaxonomyEngine

@@ -86,6 +86,22 @@ class EngineConfig:
     #: number of term-hash buckets the postings build is partitioned into;
     #: the build commits one bucket at a time (checkpoint/resume unit).
     n_term_buckets: int = 8
+    #: auto-compaction policy (Lucene segment-merge-trigger analogue):
+    #: ``TaxonomyEngine.maybe_compact`` folds append deltas into the main
+    #: tables once this many batches accumulate (or the optional bytes
+    #: threshold trips).  Default chosen from the measured query-latency
+    #: curve vs uncompacted-batch count (BENCH.md round 4): p95 is flat
+    #: through ~10 deltas and degrades past a few dozen, so 16 compacts
+    #: well before the knee while amortizing the rewrite over many batches.
+    compact_after_batches: int = 16
+    compact_after_delta_bytes: int | None = None
+    #: doc_id-hash buckets of the RESULTS table: a save rewrites only the
+    #: buckets its batch touches (engine.save_results), so bucket count
+    #: bounds per-save I/O at ~touched_buckets x (table_bytes / n).  Size it
+    #: to ~target-file-size shards of the deployed results table (a 10^12-
+    #: row table wants 10^4-10^5 buckets); bound once at first save, then
+    #: pinned in the manifest so later configs can't shear the layout.
+    n_results_buckets: int = 64
     #: terms with df above this many postings are salted across doc_id-range
     #: splits so no single build task holds a stopword-class posting list.
     salt_target_postings: int = 250_000

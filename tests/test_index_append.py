@@ -449,3 +449,79 @@ def test_append_pins_encode_avgdl_when_missing(spark, tmp_path_factory):
         TEST_CONFIG,
     )
     _parity(spark, eng, oracle, QUERIES[:3], scored=True, top_k=5)
+
+
+def test_auto_compaction_triggers_at_threshold(spark, tmp_path_factory):
+    """maybe_compact (the Lucene segment-merge-trigger analogue) fires once
+    the configured delta-batch count accumulates, folds the deltas, and
+    results stay exact across the automatic boundary."""
+    import dataclasses
+
+    out = tmp_path_factory.mktemp("autocompact")
+    cfg = dataclasses.replace(TEST_CONFIG, compact_after_batches=3)
+    full = with_doc_ids(synthesize_corpus(spark, 160))
+    base = with_doc_ids(synthesize_corpus(spark, 100))
+    extra = full.join(base.select("doc_id"), "doc_id", "left_anti").limit(60)
+    chunks = [
+        extra.where(F_col_mod3(extra) == i).persist() for i in range(3)
+    ]
+    build_index(spark, base, str(out), cfg)
+    eng = TaxonomyEngine(spark, str(out), cfg)
+
+    assert eng.append_docs(chunks[0], batch_key="a0") is not None
+    assert eng.maybe_compact() is None  # 1 delta < threshold
+    assert eng.append_docs(chunks[1], batch_key="a1") is not None
+    assert eng.maybe_compact() is None  # 2 deltas < threshold
+    assert eng.append_docs(chunks[2], batch_key="a2") is not None
+    compacted = eng.maybe_compact()  # 3 deltas -> automatic compact
+    assert compacted is not None and compacted["batches_compacted"] == 3
+    assert not eng.reader.cat.deltas()
+
+    # byte threshold path: tiny limit trips after ONE more append
+    cfg_b = dataclasses.replace(
+        TEST_CONFIG, compact_after_batches=99, compact_after_delta_bytes=1
+    )
+    eng_b = TaxonomyEngine(spark, str(out), cfg_b)
+    # materialize BEFORE appending: compaction GCs the docs generation this
+    # lazy plan would otherwise re-read
+    more_rows = [
+        r.asDict()
+        for r in with_doc_ids(synthesize_corpus(spark, 170))
+        .join(eng_b.reader.docs().select("doc_id"), "doc_id", "left_anti")
+        .limit(5)
+        .collect()
+    ]
+    more = spark.createDataFrame(more_rows)
+    assert eng_b.append_docs(more, batch_key="b0") is not None
+    assert eng_b.maybe_compact() is not None
+    assert not eng_b.reader.cat.deltas()
+
+    # and the compacted index still matches the independent oracle
+    docs = eng_b.reader.docs().count()
+    live = {
+        r["doc_id"]
+        for r in eng_b.reader.docs().select("doc_id").collect()
+    }
+    n_rows = [r.asDict() for r in full.collect() if r["doc_id"] in live] + [
+        r for r in more_rows if r["doc_id"] in live
+    ]
+    assert docs == len(n_rows)
+    oracle = OracleIndex(
+        [
+            build_oracle_doc(
+                r["doc_id"], r, TEST_CONFIG,
+                doc_ref=f'{r["repo"]}/{r["path"]}/{r["commit"]}',
+            )
+            for r in n_rows
+        ],
+        TEST_CONFIG,
+    )
+    _parity(spark, eng_b, oracle, QUERIES[:2], scored=True)
+    for c in chunks:
+        c.unpersist()
+
+
+def F_col_mod3(df):
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.col("doc_id"), F.lit(3))

@@ -184,16 +184,22 @@ def test_save_results_crash_between_write_and_swap(spark, engine, monkeypatch):
     (round-1 verdict: the old double-overwrite lost the table)."""
     from pyspark.sql import functions as F
 
-    if engine.reader.cat.results_version() == 0:  # self-sufficient solo run
+    if (
+        engine.reader.cat.results_version() == 0
+        and not engine.reader.cat.results_buckets()
+    ):  # self-sufficient solo run
         engine.save_results(engine.categorise_all())
     before = {r["doc_id"]: r["category_ids"] for r in engine.results().collect()}
-    v_before = engine.reader.cat.results_version()
+    v_before = (
+        engine.reader.cat.results_version(),
+        engine.reader.cat.results_buckets(),
+    )
 
     boom = RuntimeError("injected crash before pointer swap")
     monkeypatch.setattr(
         engine.reader.cat,
-        "commit_results_version",
-        lambda v: (_ for _ in ()).throw(boom),
+        "commit_results_buckets",
+        lambda *a, **k: (_ for _ in ()).throw(boom),
     )
     update = engine.results().limit(2).select(
         "doc_id", F.array(F.lit("CRASH")).alias("category_ids")
@@ -205,7 +211,10 @@ def test_save_results_crash_between_write_and_swap(spark, engine, monkeypatch):
     monkeypatch.undo()
 
     # old snapshot still live and byte-complete
-    assert engine.reader.cat.results_version() == v_before
+    assert (
+        engine.reader.cat.results_version(),
+        engine.reader.cat.results_buckets(),
+    ) == v_before
     after = {r["doc_id"]: r["category_ids"] for r in engine.results().collect()}
     assert after == before
 
@@ -214,6 +223,48 @@ def test_save_results_crash_between_write_and_swap(spark, engine, monkeypatch):
     got = {r["doc_id"]: r["category_ids"] for r in engine.results().collect()}
     changed = [d for d, c in got.items() if list(c) == ["CRASH"]]
     assert len(changed) == 2 and len(got) == len(before)
+
+
+def test_save_results_small_batch_touches_only_its_buckets(spark, engine):
+    """The bucketed sink's scale contract (round-3 S8 flag): a small-batch
+    save must leave every UNtouched bucket's files byte-identical on disk
+    (O(batch) I/O, the Iceberg MERGE file-pruning analogue)."""
+    from pathlib import Path
+    from pyspark.sql import functions as F
+
+    if not engine.reader.cat.results_buckets():
+        engine.save_results(engine.categorise_all())
+    cat = engine.reader.cat
+    nb = int(cat.get_meta("n_results_buckets"))
+    assert len(cat.results_buckets()) > 1, "need a multi-bucket table"
+
+    def bucket_files():
+        out = {}
+        for b, v in cat.results_buckets().items():
+            d = Path(cat.root) / f"{cat.RESULTS_PARTS}/v{v}/bucket={b}"
+            out[b] = {
+                p.name: (p.stat().st_size, p.stat().st_mtime_ns)
+                for p in d.glob("*.parquet")
+            }
+        return out
+
+    before = bucket_files()
+    one = engine.results().limit(1).select(
+        "doc_id", F.array(F.lit("CBUCKET")).alias("category_ids")
+    )
+    doc = one.collect()[0]["doc_id"]
+    engine.save_results(one)
+    after = bucket_files()
+    touched = [b for b in after if after[b] != before.get(b)]
+    # exactly the batch's one bucket moved; all others byte-identical
+    want_b = int(
+        spark.sql(
+            f"select pmod(xxhash64(cast({doc} as bigint)), {nb}) p"
+        ).collect()[0]["p"]
+    )
+    assert touched == [want_b]
+    got = engine.results().where(F.col("doc_id") == doc).collect()[0]
+    assert got["category_ids"] == ["CBUCKET"]
 
 
 def test_parse_iaid_messages(spark):

@@ -318,3 +318,124 @@ def test_embedding_near_dup_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert similarity.embedding_near_dup(empty).count() == 0
     assert similarity.embedding_near_dup(empty, dim=8).count() == 0
+
+
+class TestVendoredMediaCodecs:
+    """REAL decode paths pinned in CI via the pure-Python PNG/WAV codecs
+    (functions/minimedia.py) — no optional media libraries required.
+    These run in EVERY environment (the round-3 'exercise real media
+    decode once' item)."""
+
+    def test_png_roundtrip_all_color_types(self):
+        import numpy as np
+
+        from ds_discovery_opensearch_taxonomy_spark.functions import minimedia as mm
+
+        rng = np.random.default_rng(42)
+        for shape in ((5, 7), (5, 7, 2), (5, 7, 3), (5, 7, 4)):
+            arr = rng.integers(0, 256, shape, dtype=np.uint8)
+            got = mm.decode_png(mm.encode_png(arr))
+            assert got.shape == arr.shape and (got == arr).all()
+
+    def test_png_filtered_scanlines_decode(self):
+        """Hand-built Sub/Up/Average/Paeth-filtered streams decode to the
+        reference unfiltering computed independently here (spec §9)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from ds_discovery_opensearch_taxonomy_spark.functions import minimedia as mm
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+        h, w, ch = img.shape
+        # filter each scanline with a DIFFERENT filter type
+        lines = []
+        prev = np.zeros(w * ch, np.int64)
+        for y, f in enumerate([1, 2, 3, 4]):
+            cur = img[y].reshape(-1).astype(np.int64)
+            filt = np.empty_like(cur)
+            for x in range(w * ch):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (cur[x] - pred) % 256
+            lines.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+            prev = cur
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        png = (
+            mm.PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b"")
+        )
+        got = mm.decode_png(png)
+        assert (got == img).all()
+
+    def test_wav_roundtrip_mono_and_stereo(self):
+        import numpy as np
+
+        from ds_discovery_opensearch_taxonomy_spark.functions import minimedia as mm
+
+        t = np.linspace(0, 1, 800)
+        mono = np.sin(2 * np.pi * 440 * t) * 0.5
+        data, rate = mm.decode_wav(mm.encode_wav(mono, 8000))
+        assert rate == 8000 and data.shape == mono.shape
+        assert np.abs(data - mono).max() < 1e-4  # 16-bit quantization
+        stereo = np.stack([mono, -mono], axis=1)
+        data2, _ = mm.decode_wav(mm.encode_wav(stereo, 8000))
+        assert data2.shape == stereo.shape
+        assert np.abs(data2 - stereo).max() < 1e-4
+
+    def test_decode_payload_uses_vendored_codecs(self):
+        import numpy as np
+
+        from ds_discovery_opensearch_taxonomy_spark.functions import minimedia as mm
+
+        arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        got = multimodal.decode_payload("image", mm.encode_png(arr))
+        assert (got == arr).all()
+        wav = mm.encode_wav(np.zeros(100), 16000)
+        samples, rate = multimodal.decode_payload("audio", wav)
+        assert rate == 16000 and len(samples) == 100
+        assert multimodal.media_support()["image_png_builtin"]
+
+    def test_resize_real_png_through_spark_without_pil(self, spark):
+        """The resize operator does REAL pixel work through mapInPandas in
+        this lib-free container: PNG in -> resized PNG out, pixels equal
+        the nearest-neighbour reference."""
+        import numpy as np
+
+        from ds_discovery_opensearch_taxonomy_spark.functions import minimedia as mm
+
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
+        png = mm.encode_png(arr)
+        assets = spark.createDataFrame(
+            [(1, "image", png, (len(png), "image/png", None, None, None))],
+            multimodal.ASSET_SCHEMA,
+        )
+        out = multimodal.resize_images(assets, 6, 8).collect()
+        assert len(out) == 1
+        got = mm.decode_png(bytes(out[0]["payload"]))
+        if multimodal.media_support()["image"]:  # PIL took the real path
+            assert got.shape == (8, 6, 3)
+        else:
+            assert (got == mm.resize_nearest(arr, 6, 8)).all()

@@ -43,6 +43,12 @@ def run_once(cpus: int, rows: int, sf_dir: str) -> dict:
         timeout=3600,
         cwd=str(REPO),
     )
+    if not out.stdout.strip():
+        raise RuntimeError(
+            f"bench.py (cpus={cpus}, rows={rows}) produced no stdout "
+            f"(rc={out.returncode}); stderr tail:\n"
+            + "\n".join(out.stderr.strip().splitlines()[-30:])
+        )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 

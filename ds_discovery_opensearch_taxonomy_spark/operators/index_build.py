@@ -670,7 +670,16 @@ def _band_of(ords: np.ndarray, ord_shift: int) -> np.ndarray:
 
 
 def _slice_columns(c: dict, lo: int, hi: int) -> dict:
-    out = {k: c[k][lo:hi] for k in c if k not in ("pos_off", "pos_data")}
+    """Slice the builder's two-level column dict to postings [lo, hi).
+    Slice bounds are GROUP starts, and groups align to run-row boundaries,
+    so the row-level arrays slice exactly too."""
+    rs = c["row_starts"]
+    r0 = int(np.searchsorted(rs, lo))
+    r1 = int(np.searchsorted(rs, hi))
+    out = {k: c[k][r0:r1] for k in ("row_tid", "row_salt", "row_ford", "row_ns")}
+    out["row_starts"] = rs[r0:r1] - lo
+    for k in ("ord", "tf", "dl"):
+        out[k] = c[k][lo:hi]
     po = c["pos_off"]
     out["pos_data"] = c["pos_data"][int(po[lo]) : int(po[hi])]
     out["pos_off"] = po[lo : hi + 1] - po[lo]
@@ -727,27 +736,39 @@ def _build_blocks_batch(
 ):
     """Fully-vectorized block construction for a batch of COMPLETE
     (term_id, salt) groups, already sorted by (term_id, salt, ord).
-    Every codec pass runs ONCE over the whole batch; the four output
-    binary columns are offset arrays over the batch-level varbyte streams
-    (consecutive blocks tile each stream) — zero per-block python."""
+    Every codec pass runs ONCE over the whole batch; the output binary
+    columns are offset arrays over the batch-level varbyte streams
+    (consecutive blocks tile each stream) — zero per-block python.
+
+    ``c`` carries keys at TWO levels (round-4 kernel diet — this batch is
+    the hottest merge code, ~1.2M postings/s/core before, and the repeats
+    + defensive astype copies were ~40%% of it):
+
+    * per RUN ROW: ``row_tid row_salt row_ford row_ns row_starts`` —
+      group keys never materialize per posting; posting-level group
+      changes scatter from row-level key changes, and block-start keys
+      gather back through one searchsorted;
+    * per POSTING: ``ord tf dl pos_off pos_data`` (dl = quantized LOWER
+      bounds from dl_code_of: only max_norm consumes them, and tf_norm is
+      decreasing in dl, so the block upper bound stays valid, <=~4%%
+      looser than exact)."""
     import pyarrow as pa
 
-    n = len(c["term_id"])
-    tid = c["term_id"].astype(np.int64)
-    slt = c["salt"].astype(np.int64)
-    doc_ids = c["ord"].astype(np.int64)  # dense ords (block id space)
-    tfs = c["tf"].astype(np.int64)
-    # quantized LOWER-bound dls (float grid values, see dl_code_of): only
-    # max_norm consumes these — tf_norm is decreasing in dl, so the block
-    # upper bound stays valid, just <=~4% looser than with exact dls
-    dls = c["dl"].astype(np.float64)
-    ford = c["ford"].astype(np.int64)
-    bands = _band_of(doc_ids, ord_shift)
+    n = len(c["ord"])
+    doc_ids = np.asarray(c["ord"], np.int64)  # dense ords (block id space)
+    tfs = np.asarray(c["tf"], np.int64)
+    dls = np.asarray(c["dl"], np.float64)
+    row_tid = np.asarray(c["row_tid"], np.int64)
+    row_salt = np.asarray(c["row_salt"], np.int64)
+    row_starts = np.asarray(c["row_starts"], np.int64)
+    bands = doc_ids >> np.int64(ord_shift)
 
     idx = np.arange(n, dtype=np.int64)
-    group_change = np.empty(n, dtype=bool)
-    group_change[0] = True
-    group_change[1:] = (tid[1:] != tid[:-1]) | (slt[1:] != slt[:-1])
+    rkc = np.empty(len(row_tid), dtype=bool)
+    rkc[0] = True
+    rkc[1:] = (row_tid[1:] != row_tid[:-1]) | (row_salt[1:] != row_salt[:-1])
+    group_change = np.zeros(n, dtype=bool)
+    group_change[row_starts[rkc]] = True
     gb_change = group_change.copy()
     gb_change[1:] |= bands[1:] != bands[:-1]
     anchor = np.maximum.accumulate(np.where(gb_change, idx, 0))
@@ -756,6 +777,10 @@ def _build_blocks_batch(
     ends = np.empty_like(starts)
     ends[:-1] = starts[1:]
     ends[-1] = n
+    # block-start group keys: one searchsorted back to the run rows
+    ridx = np.searchsorted(row_starts, starts, side="right") - 1
+    tid_s = row_tid[ridx]
+    slt_s = row_salt[ridx]
 
     # blk_seq: block ordinal within its (field, term, salt) group
     g_id = np.cumsum(group_change) - 1
@@ -768,13 +793,13 @@ def _build_blocks_batch(
     blk_seq = bidx - blk_anchor
 
     # docids: gaps within a block, absolute (shifted) value at block start
-    u = doc_ids.astype(np.uint64) + np.uint64(1 << 63)
+    u = doc_ids.view(np.uint64) + np.uint64(1 << 63)
     gaps = np.empty_like(u)
     gaps[0] = u[0]
     gaps[1:] = u[1:] - u[:-1]
     gaps[starts] = u[starts]
     doc_bytes, doc_ends = codec.varbyte_encode_offsets(gaps)
-    tf_bytes, tf_ends = codec.varbyte_encode_offsets(tfs.astype(np.uint64))
+    tf_bytes, tf_ends = codec.varbyte_encode_offsets(tfs.view(np.uint64))
 
     # positions arrive pre-encoded per posting (delta varbyte, absolute
     # first value) as ONE stream + offsets — block posdata boundaries are
@@ -782,17 +807,21 @@ def _build_blocks_batch(
     pos_off = c["pos_off"]
     pos_data = c["pos_data"]
 
-    av = avgdl[ford]
+    # the ONLY per-posting repeat left: avgdl by field ordinal for norms
+    av = np.repeat(
+        avgdl[np.asarray(c["row_ford"], np.int64)],
+        np.asarray(c["row_ns"], np.int64),
+    )
     # df-independent: the evaluator folds idf(df) in at query time
-    norms = scoring.tf_norm(tfs.astype(float), dls.astype(float), av, k1, b)
+    norms = scoring.tf_norm(tfs, dls, av, k1, b)
     ubs = np.maximum.reduceat(norms, starts)
 
     de = np.concatenate([[0], doc_ends])
     te = np.concatenate([[0], tf_ends])
     bounds = np.append(starts, n)
     arrays = [
-        pa.array(tid[starts], pa.int64()),
-        pa.array(slt[starts].astype(np.int32), pa.int32()),
+        pa.array(tid_s, pa.int64()),
+        pa.array(slt_s.astype(np.int32), pa.int32()),
         pa.array(bands[starts].astype(np.int32), pa.int32()),
         pa.array(blk_seq.astype(np.int32), pa.int32()),
         pa.array((ends - starts).astype(np.int32), pa.int32()),
@@ -1055,12 +1084,18 @@ def make_merge_builder(
         pos_lens = _width_decode(
             _packed_stream(tbl, "pos_lens"), ns, (wf & WIDE_PL) != 0
         )
-        # rel-u32 ords -> absolute: one repeat of the per-run min_ord
+        row_starts = np.zeros(len(ns), dtype=np.int64)
+        np.cumsum(ns[:-1], out=row_starts[1:])
+        # rel-u32 ords -> absolute: one repeat of the per-run min_ord;
+        # group KEYS stay row-level (see _build_blocks_batch) — the old
+        # per-posting term_id/salt/ford repeats were pure memory traffic
         rel = np.frombuffer(_packed_stream(tbl, "ord_bytes"), dtype="<u4")
         cols = {
-            "term_id": np.repeat(tbl["term_id"].to_numpy(), ns),
-            "salt": np.repeat(tbl["salt"].to_numpy(), ns),
-            "ford": np.repeat(tbl["ford"].to_numpy(), ns),
+            "row_tid": tbl["term_id"].to_numpy(),
+            "row_salt": tbl["salt"].to_numpy(),
+            "row_ford": tbl["ford"].to_numpy(),
+            "row_ns": ns,
+            "row_starts": row_starts,
             "ord": rel
             + np.repeat(tbl["min_ord"].to_numpy().astype(np.int64), ns),
             "tf": _width_decode(
@@ -1081,12 +1116,11 @@ def make_merge_builder(
         n = len(cols["ord"])
         if n != int(ns.sum()) or len(cols["tf"]) != n:
             raise AssertionError("packed run streams inconsistent with n")
-        tid = cols["term_id"]
-        slt = cols["salt"]
-        change = np.empty(n, dtype=bool)
-        change[0] = True
-        change[1:] = (tid[1:] != tid[:-1]) | (slt[1:] != slt[:-1])
-        group_starts = np.flatnonzero(change)
+        rt, rs = cols["row_tid"], cols["row_salt"]
+        rchange = np.empty(len(rt), dtype=bool)
+        rchange[0] = True
+        rchange[1:] = (rt[1:] != rt[:-1]) | (rs[1:] != rs[:-1])
+        group_starts = row_starts[rchange]
         lo = 0
         while lo < n:
             hi_target = lo + slice_rows

@@ -89,10 +89,12 @@ class EngineConfig:
     #: auto-compaction policy (Lucene segment-merge-trigger analogue):
     #: ``TaxonomyEngine.maybe_compact`` folds append deltas into the main
     #: tables once this many batches accumulate (or the optional bytes
-    #: threshold trips).  Default chosen from the measured query-latency
-    #: curve vs uncompacted-batch count (BENCH.md round 4): p95 is flat
-    #: through ~10 deltas and degrades past a few dozen, so 16 compacts
-    #: well before the knee while amortizing the rewrite over many batches.
+    #: threshold trips).  Default from the MEASURED warm-query latency
+    #: curve vs uncompacted-delta count (tools/delta_latency.py on the
+    #: 250k index, BENCH.md round 4): p50 0.78 s at 0 deltas, 0.96 s at
+    #: 10, 1.29 s at 50 — ~+1%/delta, no cliff.  16 holds p50 within
+    #: ~15-20% of the compacted floor while amortizing the generation
+    #: rewrite over 16 appends.
     compact_after_batches: int = 16
     compact_after_delta_bytes: int | None = None
     #: doc_id-hash buckets of the RESULTS table: a save rewrites only the

@@ -23,11 +23,25 @@ import argparse
 import json
 import os
 import sys
+from pathlib import Path
 
 
 def make_spark(
     cpus: str = "*", shuffle_partitions: int | None = None, driver_memory: str = "48g"
 ):
+    # Python workers must be able to import this package even when the
+    # driver script runs from another cwd with a bare sys.path insert
+    # (mapInArrow closures unpickle by module name in the worker).  Local
+    # mode workers inherit the driver process env, so extending PYTHONPATH
+    # before the JVM starts is sufficient; on a real cluster the package
+    # ships via --py-files / a pip-installed image instead.
+    pkg_root = str(Path(__file__).resolve().parent.parent)
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pp if pp else "")
+        )
+
     from pyspark.sql import SparkSession
 
     b = (

@@ -1140,6 +1140,185 @@ def make_merge_builder(
     return run
 
 
+#: direct-write stats: one row per (task, bucket) — the ONLY rows the
+#: merge job returns to the JVM (the block payloads go straight from the
+#: Python worker to parquet, see make_direct_block_writer)
+WRITER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("pid", T.IntegerType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("blocks", T.LongType(), False),
+        T.StructField("postings", T.LongType(), False),
+    ]
+)
+
+#: buffered bytes per bucket before flushing a parquet row group in the
+#: direct writer — large enough for healthy row groups, small enough that
+#: 8 buckets of buffer stay well under the task's input footprint
+_DIRECT_WRITE_FLUSH_BYTES = 32 << 20
+
+
+def make_direct_block_writer(builder, out_dir: str, n_buckets: int):
+    """Wrap the merge builder so each TASK writes its own bucket=*/part
+    parquet files directly (pyarrow C++ encode) and returns only tiny
+    per-bucket stat rows to the JVM.
+
+    Why: the previous ``df.write.partitionBy("bucket")`` path moved every
+    block payload Python->JVM over Arrow IPC, converted it to UnsafeRows,
+    ran the planned-write SORT by bucket, and re-encoded parquet in the
+    JVM — measured ~14 s at BOTH 4 and 16 cores on a 617 MB postings
+    table (4->16 efficiency 0.29 for the write step vs 0.60 for a flat
+    write), i.e. the single non-scaling component left in the build.
+    Writing from the worker that already holds the Arrow batches is the
+    Lucene shape (the merge thread writes the segment) and removes all
+    four costs; on a real cluster the same tasks write to the shared
+    filesystem/object store via pyarrow.fs.
+
+    Crash/retry safety: files are written to ``<name>.inprogress`` and
+    os.rename'd (atomic on POSIX) so a killed task never leaves a
+    half-written parquet; names embed the partition id and task attempt
+    (``part-<pid>-<attempt>.parquet``), a retry first removes its
+    predecessor's files, and the driver reconciles leftovers after the
+    job (_reconcile_direct_write) — output is deterministic per
+    partition (the builder sorts its whole input), so either attempt's
+    file is byte-equivalent data."""
+
+    def run(batches):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        att = tc.taskAttemptId() if tc is not None else 0
+        prefix = f"part-{pid:05d}-"
+        schema = _arrow_blocks_schema()
+        # retry hygiene: drop anything a previous attempt of THIS
+        # partition left behind (final or in-progress)
+        for b in range(n_buckets):
+            bdir = os.path.join(out_dir, f"bucket={b}")
+            if os.path.isdir(bdir):
+                for fn in os.listdir(bdir):
+                    if fn.startswith(prefix):
+                        try:
+                            os.remove(os.path.join(bdir, fn))
+                        except OSError:
+                            pass
+
+        writers: dict[int, tuple] = {}  # bucket -> (writer, tmp, final)
+        buf: dict[int, list] = {}
+        buf_bytes: dict[int, int] = {}
+        blocks_n: dict[int, int] = {}
+        postings_n: dict[int, int] = {}
+
+        def flush(b: int) -> None:
+            batches_b = buf.pop(b, [])
+            buf_bytes[b] = 0
+            if not batches_b:
+                return
+            if b not in writers:
+                bdir = os.path.join(out_dir, f"bucket={b}")
+                os.makedirs(bdir, exist_ok=True)
+                final = os.path.join(bdir, f"{prefix}{att}.parquet")
+                tmp = final + ".inprogress"
+                writers[b] = (
+                    pq.ParquetWriter(tmp, schema, compression="snappy"),
+                    tmp,
+                    final,
+                )
+            writers[b][0].write_table(pa.Table.from_batches(batches_b))
+
+        import time as _time
+
+        trace = os.environ.get("SPARK_GRAFT_WRITER_TRACE") == "1"
+        t_kernel = t_split = t_write = 0.0
+        t0 = _time.perf_counter()
+        it = builder(batches)
+        while True:
+            try:
+                rb = next(it)
+            except StopIteration:
+                break
+            t1 = _time.perf_counter()
+            t_kernel += t1 - t0
+            if rb.num_rows == 0:
+                t0 = _time.perf_counter()
+                continue
+            tid = rb.column(0).to_numpy()
+            nvals = rb.column(4).to_numpy()
+            bk = tid % n_buckets
+            for b in np.unique(bk):
+                b = int(b)
+                idx = np.flatnonzero(bk == b)
+                sub = rb.take(pa.array(idx))
+                blocks_n[b] = blocks_n.get(b, 0) + len(idx)
+                postings_n[b] = postings_n.get(b, 0) + int(nvals[idx].sum())
+                buf.setdefault(b, []).append(sub)
+                buf_bytes[b] = buf_bytes.get(b, 0) + sub.nbytes
+                t2 = _time.perf_counter()
+                t_split += t2 - t1
+                if buf_bytes[b] >= _DIRECT_WRITE_FLUSH_BYTES:
+                    flush(b)
+                    t1 = _time.perf_counter()
+                    t_write += t1 - t2
+                else:
+                    t1 = t2
+            t0 = _time.perf_counter()
+        t1 = _time.perf_counter()
+        for b in list(buf):
+            flush(b)
+        for b, (w, tmp, final) in writers.items():
+            w.close()
+            os.rename(tmp, final)
+        t_write += _time.perf_counter() - t1
+        if trace:
+            print(
+                f"WRITER_TRACE pid={pid} kernel={t_kernel:.2f} "
+                f"split={t_split:.2f} write={t_write:.2f}",
+                flush=True,
+            )
+        if blocks_n:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([pid] * len(blocks_n), pa.int32()),
+                    pa.array(sorted(blocks_n), pa.int32()),
+                    pa.array(
+                        [blocks_n[b] for b in sorted(blocks_n)], pa.int64()
+                    ),
+                    pa.array(
+                        [postings_n[b] for b in sorted(blocks_n)], pa.int64()
+                    ),
+                ],
+                names=["pid", "bucket", "blocks", "postings"],
+            )
+
+    return run
+
+
+def _reconcile_direct_write(out_dir) -> None:
+    """Post-job cleanup for the direct writer: remove orphaned
+    ``.inprogress`` files (killed attempts) and, should two attempts of
+    one partition both have committed (speculation — off by default
+    locally, possible on a cluster), keep the newest attempt's file.
+    Runs on the driver after the stats collect() proves the job done."""
+    from pathlib import Path
+
+    for bdir in Path(out_dir).glob("bucket=*"):
+        for f in bdir.glob("*.inprogress"):
+            f.unlink(missing_ok=True)
+        by_pid: dict[str, list] = {}
+        for f in bdir.glob("part-*.parquet"):
+            parts = f.stem.split("-")
+            if len(parts) >= 3:
+                by_pid.setdefault(parts[1], []).append(f)
+        for files in by_pid.values():
+            if len(files) > 1:
+                for f in sorted(files, key=lambda p: int(p.stem.split("-")[2]))[:-1]:
+                    f.unlink(missing_ok=True)
+
+
 #: on-disk packed-run bytes per merge task.  The merge builder materializes
 #: its whole shuffle partition (Table.from_batches + take), so per-task
 #: memory must be bounded by DATA-scaled partitioning, not defaultParallelism
@@ -1185,38 +1364,34 @@ def _build_postings_single_job(
     )
     salted = _salt_packed_runs(staged_all, heavy, ord_bits)
     n_parts = _merge_partitions(spark, cat, config)
+    nb = config.n_term_buckets
+    # fresh output dir: the job is all-or-nothing at the manifest level
+    # (commit_bucket below), so a leftover partial tree is always garbage
+    import shutil as _shutil
+
+    post_dir = cat.path(IndexCatalog.POSTINGS)
+    _shutil.rmtree(post_dir, ignore_errors=True)
     # NO sortWithinPartitions: the merge builder orders RUNS columnar
     # inside the worker (numpy lexsort over ~|runs| keys) — see
-    # make_merge_builder's docstring for the measured per-posting-row cost
-    blocks = (
+    # make_merge_builder's docstring for the measured per-posting-row
+    # cost.  The builder is wrapped in the DIRECT writer: each task
+    # parquet-encodes its own bucket=*/part files and only (task, bucket)
+    # stat rows come back — replacing df.write.partitionBy("bucket"),
+    # whose JVM re-encode + planned-write sort was ~14 s at BOTH 4 and 16
+    # cores (the last non-scaling build component), and replacing the
+    # Observation (stats now ride the same stat rows).
+    writer = make_direct_block_writer(builder, post_dir, nb)
+    stats = (
         salted.repartition(n_parts, "term_id", "salt")
-        .mapInArrow(builder, BLOCKS_SCHEMA)
-        .withColumn(
-            "bucket", F.pmod(F.col("term_id"), F.lit(config.n_term_buckets))
-        )
+        .mapInArrow(writer, WRITER_STATS_SCHEMA)
+        .collect()
     )
-    # per-bucket lineage metrics ride the write itself as conditional-sum
-    # observations — no read-back jobs on the build critical path (two
-    # extra Spark jobs were ~10% of the whole postings stage at 16 cores);
-    # is_complete()/committed_buckets() see the same manifest shape as the
-    # resumable loop
-    nb = config.n_term_buckets
-    obs = Observation("postings")
-    blocks = blocks.observe(
-        obs,
-        *[
-            F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"b{b}")
-            for b in range(nb)
-        ],
-        *[
-            F.sum(F.when(F.col("bucket") == b, F.col("n")).otherwise(0)).alias(
-                f"p{b}"
-            )
-            for b in range(nb)
-        ],
-    )
-    cat.write(blocks, IndexCatalog.POSTINGS, partition_by=["bucket"])
-    m = obs.get
+    _reconcile_direct_write(post_dir)
+    blocks_by_bucket: dict[int, int] = {b: 0 for b in range(nb)}
+    postings_by_bucket: dict[int, int] = {b: 0 for b in range(nb)}
+    for r in stats:
+        blocks_by_bucket[int(r["bucket"])] += int(r["blocks"])
+        postings_by_bucket[int(r["bucket"])] += int(r["postings"])
     terms_per_bucket = (
         cat.manifest()["stages"]
         .get("dictionary", {})
@@ -1227,8 +1402,8 @@ def _build_postings_single_job(
         cat.commit_bucket(
             bucket,
             {
-                "blocks": int(m[f"b{bucket}"] or 0),
-                "postings": int(m[f"p{bucket}"] or 0),
+                "blocks": blocks_by_bucket[bucket],
+                "postings": postings_by_bucket[bucket],
                 "terms": int(terms_per_bucket.get(str(bucket), 0)),
                 "bytes": cat.table_bytes(
                     f"{IndexCatalog.POSTINGS}/bucket={bucket}"

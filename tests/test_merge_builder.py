@@ -226,3 +226,84 @@ def test_run_stages_concurrently_commits_successes(tmp_path):
     # committed stages are skipped on resume; only 'b' runs
     _run_stages_concurrently(cat, [("a", bad), ("b", count_ok)])
     assert cat.stage_done("b") and len(calls) == 1
+
+
+def _blocks_batch(term_ids, ns):
+    """Minimal blocks-schema batch: only term_id (col 0) and n (col 4)
+    carry signal for the direct writer's bucketing/stats."""
+    schema = IB._arrow_blocks_schema()
+    z = b""
+    cols = {
+        "term_id": pa.array(term_ids, pa.int64()),
+        "salt": pa.array([0] * len(term_ids), pa.int32()),
+        "band": pa.array([0] * len(term_ids), pa.int32()),
+        "blk_seq": pa.array([0] * len(term_ids), pa.int32()),
+        "n": pa.array(ns, pa.int32()),
+        "min_docid": pa.array([0] * len(term_ids), pa.int64()),
+        "max_docid": pa.array([0] * len(term_ids), pa.int64()),
+        "max_norm": pa.array([0.0] * len(term_ids), pa.float64()),
+        "docids": pa.array([z] * len(term_ids), pa.binary()),
+        "tfs": pa.array([z] * len(term_ids), pa.binary()),
+        "posdata": pa.array([z] * len(term_ids), pa.binary()),
+    }
+    return pa.RecordBatch.from_arrays(
+        [cols[f.name] for f in schema], schema=schema
+    )
+
+
+def test_direct_writer_buckets_stats_and_filenames(tmp_path):
+    """The direct writer routes blocks to bucket=<tid % nb> dirs, returns
+    stat rows that sum to the input, and leaves no .inprogress files."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "postings")
+    builder = lambda _batches: iter(  # noqa: E731
+        [_blocks_batch([0, 1, 2, 5], [10, 20, 30, 40]),
+         _blocks_batch([4, 1], [7, 3])]
+    )
+    w = IB.make_direct_block_writer(builder, out, n_buckets=4)
+    stats = list(w([]))
+    assert len(stats) == 1
+    s = stats[0].to_pydict()
+    # bucket 0: tids 0,4 -> 2 blocks, 17 postings; bucket 1: tids 1,5,1
+    # -> 3 blocks, 63 postings; bucket 2: tid 2 -> 1 block, 30 postings
+    got = dict(zip(s["bucket"], zip(s["blocks"], s["postings"])))
+    assert got == {0: (2, 17), 1: (3, 63), 2: (1, 30)}
+    IB._reconcile_direct_write(out)
+    for b, (nb_, np_) in got.items():
+        files = list((tmp_path / "postings" / f"bucket={b}").glob("*"))
+        assert [f.name for f in files] == ["part-00000-0.parquet"]
+        t = pq.read_table(files[0])
+        assert t.num_rows == nb_
+        assert sum(t["n"].to_pylist()) == np_
+        assert t.schema.equals(IB._arrow_blocks_schema())
+
+
+def test_direct_writer_retry_removes_predecessor_files(tmp_path):
+    """A re-run of the same partition id must replace, not duplicate, a
+    previous attempt's output (task retry semantics)."""
+    out = str(tmp_path / "postings")
+    builder = lambda _b: iter([_blocks_batch([0], [5])])  # noqa: E731
+    w = IB.make_direct_block_writer(builder, out, n_buckets=2)
+    list(w([]))
+    # fake a stale predecessor: same pid prefix, different attempt + orphan
+    bdir = tmp_path / "postings" / "bucket=0"
+    (bdir / "part-00000-99.parquet").write_bytes(b"stale")
+    (bdir / "part-00000-7.parquet.inprogress").write_bytes(b"dead")
+    list(IB.make_direct_block_writer(builder, out, n_buckets=2)([]))
+    names = sorted(f.name for f in bdir.glob("*"))
+    assert names == ["part-00000-0.parquet"]
+
+
+def test_reconcile_keeps_newest_attempt_and_drops_orphans(tmp_path):
+    """Driver-side reconciliation: orphan .inprogress removed; duplicate
+    committed attempts of one partition keep only the newest."""
+    bdir = tmp_path / "bucket=3"
+    bdir.mkdir(parents=True)
+    (bdir / "part-00002-4.parquet").write_bytes(b"old")
+    (bdir / "part-00002-11.parquet").write_bytes(b"new")
+    (bdir / "part-00009-2.parquet").write_bytes(b"ok")
+    (bdir / "part-00009-5.parquet.inprogress").write_bytes(b"dead")
+    IB._reconcile_direct_write(str(tmp_path))
+    names = sorted(f.name for f in bdir.glob("*"))
+    assert names == ["part-00002-11.parquet", "part-00009-2.parquet"]

@@ -466,6 +466,7 @@ def tokenize_corpus(
     config: EngineConfig,
     offsets: list[int],
     expected: list[int] | None = None,
+    direct_out: str | None = None,
 ) -> DataFrame:
     """corpus -> PACKED TOKENS_SCHEMA rows: one posting RUN per (term,
     input split) plus one doc-length sidecar row per (split, field) — the
@@ -534,6 +535,15 @@ def tokenize_corpus(
             yield _pack_field_runs(ford, acc[ford], tok.caches[ford])
             yield _pack_sentinel(ford, sent[ford])
 
+    if direct_out is not None:
+        # staging build path: tasks parquet-encode their own packed runs
+        # (+ bucket column) and return only per-field cf-sum stat rows
+        writer = make_direct_staging_writer(
+            run, direct_out, config.n_term_buckets
+        )
+        return corpus.select(*src_cols).mapInArrow(
+            writer, STAGING_STATS_SCHEMA
+        )
     return corpus.select(*src_cols).mapInArrow(run, TOKENS_SCHEMA)
 
 
@@ -1297,26 +1307,142 @@ def make_direct_block_writer(builder, out_dir: str, n_buckets: int):
     return run
 
 
-def _reconcile_direct_write(out_dir) -> None:
-    """Post-job cleanup for the direct writer: remove orphaned
+def _reconcile_dir(bdir) -> None:
+    """Per-directory cleanup for direct task writes: remove orphaned
     ``.inprogress`` files (killed attempts) and, should two attempts of
     one partition both have committed (speculation — off by default
-    locally, possible on a cluster), keep the newest attempt's file.
-    Runs on the driver after the stats collect() proves the job done."""
+    locally, possible on a cluster), keep the newest attempt's file."""
+    for f in bdir.glob("*.inprogress"):
+        f.unlink(missing_ok=True)
+    by_pid: dict[str, list] = {}
+    for f in bdir.glob("part-*.parquet"):
+        parts = f.stem.split("-")
+        if len(parts) >= 3:
+            by_pid.setdefault(parts[1], []).append(f)
+    for files in by_pid.values():
+        if len(files) > 1:
+            for f in sorted(files, key=lambda p: int(p.stem.split("-")[2]))[:-1]:
+                f.unlink(missing_ok=True)
+
+
+def _reconcile_direct_write(out_dir) -> None:
+    """Post-job cleanup for the bucketed direct writer; runs on the
+    driver after the stats collect() proves the job done."""
     from pathlib import Path
 
     for bdir in Path(out_dir).glob("bucket=*"):
-        for f in bdir.glob("*.inprogress"):
-            f.unlink(missing_ok=True)
-        by_pid: dict[str, list] = {}
-        for f in bdir.glob("part-*.parquet"):
-            parts = f.stem.split("-")
-            if len(parts) >= 3:
-                by_pid.setdefault(parts[1], []).append(f)
-        for files in by_pid.values():
-            if len(files) > 1:
-                for f in sorted(files, key=lambda p: int(p.stem.split("-")[2]))[:-1]:
-                    f.unlink(missing_ok=True)
+        _reconcile_dir(bdir)
+
+
+#: direct staging-write stats: per-(task, field) cf sums over kind-0 rows
+#: — the ONLY rows the staging job returns to the JVM (packed run payloads
+#: go straight from the tokenizer task to parquet)
+STAGING_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("pid", T.IntegerType(), False),
+        T.StructField("ford", T.IntegerType(), False),
+        T.StructField("sum_cf", T.LongType(), False),
+    ]
+)
+
+
+def _arrow_staging_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("kind", pa.int8()),
+            ("term_id", pa.int64()),
+            ("term", pa.string()),
+            ("ford", pa.int32()),
+            ("n", pa.int32()),
+            ("cf", pa.int64()),
+            ("min_ord", pa.int64()),
+            ("ord_bytes", pa.binary()),
+            ("tf_bytes", pa.binary()),
+            ("dl_bytes", pa.binary()),
+            ("pos_lens", pa.binary()),
+            ("pos_data", pa.binary()),
+            ("wflags", pa.int8()),
+            ("bucket", pa.int32()),
+        ]
+    )
+
+
+def make_direct_staging_writer(inner, out_dir: str, n_buckets: int):
+    """Wrap the tokenizer's packed-run generator so each TASK writes its
+    own staging parquet file directly (pyarrow encode, with the ``bucket``
+    routing column appended numpy-side) and returns only per-(task, field)
+    cf-sum stat rows — the same direct-write shape as
+    make_direct_block_writer and for the same reason: the flat
+    ``cat.write(staged)`` path re-encoded ~GBs of packed binary payloads
+    through Arrow IPC -> UnsafeRow -> the JVM parquet writer (measured
+    4->16 efficiency 0.60 for an isolated flat write), and the
+    per-bucket Observation sums ran in the same pass.  Crash/retry safety
+    is identical: ``.inprogress`` + atomic rename, attempt-suffixed
+    names, predecessor cleanup on retry, `_reconcile_dir` on the driver.
+
+    Each yielded pack (one per (split, field) runs/sentinel group) becomes
+    one parquet row group — large groups by construction, no extra
+    buffering needed."""
+
+    def run(batches):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        att = tc.taskAttemptId() if tc is not None else 0
+        prefix = f"part-{pid:05d}-"
+        os.makedirs(out_dir, exist_ok=True)
+        for fn in os.listdir(out_dir):
+            if fn.startswith(prefix):
+                try:
+                    os.remove(os.path.join(out_dir, fn))
+                except OSError:
+                    pass
+        schema = _arrow_staging_schema()
+        final = os.path.join(out_dir, f"{prefix}{att}.parquet")
+        tmp = final + ".inprogress"
+        writer = None
+        sums: dict[int, int] = {}
+        for rb in inner(batches):
+            if rb.num_rows == 0:
+                continue
+            tid = rb.column(1).to_numpy()
+            bucket = (tid % n_buckets).astype(np.int32)
+            out_rb = pa.RecordBatch.from_arrays(
+                list(rb.columns) + [pa.array(bucket, pa.int32())],
+                schema=schema,
+            )
+            kind = rb.column(0).to_numpy()
+            k0 = kind == 0
+            if k0.any():
+                fords = rb.column(3).to_numpy()[k0]
+                cfs = rb.column(5).to_numpy()[k0]
+                for f in np.unique(fords):
+                    f = int(f)
+                    sums[f] = sums.get(f, 0) + int(cfs[fords == f].sum())
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, schema, compression="snappy")
+            writer.write_table(pa.Table.from_batches([out_rb]))
+        if writer is not None:
+            writer.close()
+            os.rename(tmp, final)
+        if sums:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([pid] * len(sums), pa.int32()),
+                    pa.array(sorted(sums), pa.int32()),
+                    pa.array([sums[f] for f in sorted(sums)], pa.int64()),
+                ],
+                names=["pid", "ford", "sum_cf"],
+            )
+
+    return run
 
 
 #: on-disk packed-run bytes per merge task.  The merge builder materializes
@@ -1488,35 +1614,33 @@ def build_index(
     field_names = [f.name for f in config.fields]
 
     def _staging_action():
-        tokens = tokenize_corpus(
+        # UNPARTITIONED direct write with ``bucket`` as an ordinary column:
+        # every hot-path consumer (dictionary agg, docmap agg, single-job
+        # postings build) full-scans staging, so hive-partitioning by
+        # bucket bought nothing there while costing a sort-based
+        # dynamic-partition write (measured 45.6 s vs 6.2 s plain at 25k
+        # docs).  The rare ``bucket_resume`` path filters on the bucket
+        # COLUMN instead (row-group stats).  Tasks write their own parquet
+        # (make_direct_staging_writer) and return per-field cf sums —
+        # sum(cf) over a field's kind-0 rows == sum of per-doc field
+        # lengths, so avgdl needs no second pass over staging at all.
+        import shutil as _shutil
+        from pathlib import Path as _Path
+
+        stg_dir = cat.path(IndexCatalog.STAGING)
+        _shutil.rmtree(stg_dir, ignore_errors=True)
+        stats = tokenize_corpus(
             corpus_with_ids, config, offsets,
             expected=expected_counts(offsets, n_docs),
-        )
-        staged = tokens.withColumn(
-            "bucket", F.pmod(F.col("term_id"), F.lit(config.n_term_buckets))
-        )
-        stg_obs = Observation("staging")
-        staged = staged.observe(
-            stg_obs,
-            *[
-                F.sum(
-                    F.when(
-                        (F.col("ford") == i) & (F.col("kind") == 0),
-                        F.col("cf"),
-                    ).otherwise(F.lit(0))
-                ).alias(fn)
-                for i, fn in enumerate(field_names)
-            ],
-        )
-        # UNPARTITIONED write with ``bucket`` as an ordinary column: every
-        # hot-path consumer (dictionary agg, docmap agg, single-job postings
-        # build) full-scans staging, so hive-partitioning by bucket bought
-        # nothing there while costing a sort-based dynamic-partition write
-        # (measured 45.6 s vs 6.2 s plain at 25k docs — the sorter has to
-        # buffer/spill every pos_bytes payload).  The rare ``bucket_resume``
-        # path filters on the bucket COLUMN instead (row-group stats).
-        cat.write(staged, IndexCatalog.STAGING)
-        sum_dl = {fn: int(stg_obs.get[fn] or 0) for fn in field_names}
+            direct_out=stg_dir,
+        ).collect()
+        _reconcile_dir(_Path(stg_dir))
+        by_ford: dict[int, int] = {}
+        for r in stats:
+            by_ford[int(r["ford"])] = by_ford.get(int(r["ford"]), 0) + int(
+                r["sum_cf"]
+            )
+        sum_dl = {fn: by_ford.get(i, 0) for i, fn in enumerate(field_names)}
         return {"bytes": cat.table_bytes(IndexCatalog.STAGING), "sum_dl": sum_dl}
 
     _run_stages_concurrently(

@@ -870,9 +870,22 @@ def _run_stages_concurrently(cat: IndexCatalog, stages) -> None:
     returns the metrics dict for its commit.  Already-committed stages are
     skipped; if any action fails, completed ones are committed first so a
     resume skips them, then the first error propagates."""
+    import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
-    todo = [(n, a) for n, a in stages if not cat.stage_done(n)]
+    def timed(action):
+        # per-ACTION wall time recorded in the commit metrics: concurrent
+        # stages commit sequentially afterwards, so manifest timestamps
+        # alone cannot attribute wall time within the group
+        def run():
+            t0 = _time.time()
+            m = action() or {}
+            m.setdefault("elapsed_sec", round(_time.time() - t0, 3))
+            return m
+
+        return run
+
+    todo = [(n, timed(a)) for n, a in stages if not cat.stage_done(n)]
     if not todo:
         return
     if len(todo) == 1:

@@ -58,6 +58,10 @@ WS_SPAN = re.compile(r"\S+")
 _SPAN_KIND_WS = "ws"
 _SPAN_KIND_CLASSIC = "classic"
 
+#: spans every CLASSIC chain maps to themselves as one slot (see
+#: FieldSpanCache._add_batch): lowercase-ASCII alpha runs or digit runs
+_FAST_SPAN = re.compile(r"[a-z]+\Z|[0-9]+\Z")
+
 
 def span_kind(analyzer: str) -> str:
     return _SPAN_KIND_WS if analyzer == TEXT_CAS_PUNC else _SPAN_KIND_CLASSIC
@@ -151,40 +155,91 @@ class FieldSpanCache:
         self.incs = _Flat(np.int32)
         self.valid = _Flat(bool)
 
-    def _add(self, span: str) -> int:
-        terms, incs = analyze_span_slots(self.analyzer, span)
-        k = len(terms)
-        tids = np.zeros(k, dtype=np.int64)
-        valid = np.zeros(k, dtype=bool)
-        for j, t in enumerate(terms):
-            if not t:
+    def _add_batch(self, spans: list[str]) -> None:
+        """Append expansion slots for a batch of NEW spans (uids already
+        assigned by uid_lut, in list order).
+
+        Two cost levers over the old span-at-a-time ``_add`` (measured
+        ~half the tokenize kernel at 27 µs/span):
+
+        * **Trivial-span fast path** — a span the whole chain maps to
+          itself as a single slot skips tokenizer + expanders entirely.
+          For the whitespace analyzer (textcaspunc) that is EVERY span
+          (WhitespaceTokenizer + inert StopFilter); for the classic
+          chains it is exactly ``[a-z]+`` or ``[0-9]+``: ClassicTokenizer
+          emits such a span whole (ALPHANUM, no separators to form
+          HOST/NUM), WordDelimiterFilter's _IS_SIMPLE passes it through,
+          and possessive-strip / ASCII-fold / lowercase are no-ops on
+          lowercase ASCII alnum.  Pinned by a differential test against
+          analyze_span_slots (tests/test_vtokenize.py).
+        * **Batched buffer appends** — slots accumulate in plain Python
+          lists and hit the _Flat arrays once per batch, not once per
+          span."""
+        trivial_all = self.analyzer == TEXT_CAS_PUNC
+        fast = _FAST_SPAN.match
+        get_tid = self._term_tid.get
+        term_tid = self._term_tid
+        tid_term = self.tid_term
+        field = self.field
+        lens = np.empty(len(spans), dtype=np.int32)
+        tids_l: list[int] = []
+        incs_l: list[int] = []
+        valid_l: list[bool] = []
+        for i, s in enumerate(spans):
+            if trivial_all or fast(s) is not None:
+                tid = get_tid(s)
+                if tid is None:
+                    tid = term_id_of(field, s)
+                    term_tid[s] = tid
+                    tid_term[tid] = s
+                lens[i] = 1
+                tids_l.append(tid)
+                incs_l.append(1)
+                valid_l.append(True)
                 continue
-            tid = self._term_tid.get(t)
-            if tid is None:
-                tid = term_id_of(self.field, t)
-                self._term_tid[t] = tid
-                self.tid_term[tid] = t
-            tids[j] = tid
-            valid[j] = True
-        uid = len(self.slot)
-        self.slot[span] = uid
-        self.starts.append(self.tids.n)
-        self.lens.append(k)
-        self.tids.extend(tids)
-        self.incs.extend(incs)
-        self.valid.extend(valid)
-        return uid
+            terms, incs = analyze_span_slots(self.analyzer, s)
+            lens[i] = len(terms)
+            incs_l.extend(incs.tolist())
+            for t in terms:
+                if not t:
+                    tids_l.append(0)
+                    valid_l.append(False)
+                    continue
+                tid = get_tid(t)
+                if tid is None:
+                    tid = term_id_of(field, t)
+                    term_tid[t] = tid
+                    tid_term[tid] = t
+                tids_l.append(tid)
+                valid_l.append(True)
+        base = self.tids.n
+        starts = base + np.concatenate(
+            ([0], np.cumsum(lens[:-1], dtype=np.int64))
+        )
+        self.starts.extend(starts)
+        self.lens.extend(lens)
+        self.tids.extend(np.asarray(tids_l, dtype=np.int64))
+        self.incs.extend(np.asarray(incs_l, dtype=np.int32))
+        self.valid.extend(np.asarray(valid_l, dtype=bool))
 
     def uid_lut(self, uniques: np.ndarray) -> np.ndarray:
         """Chunk-unique span strings -> cache uids (computing new ones)."""
         if len(self.slot) > self.max_spans:
             self._reset()
-        get = self.slot.get
-        add = self._add
+        slot = self.slot
+        get = slot.get
         out = np.empty(len(uniques), dtype=np.int64)
+        new_spans: list[str] = []
+        base = len(slot)
         for i, s in enumerate(uniques):
             uid = get(s)
-            out[i] = add(s) if uid is None else uid
+            if uid is None:
+                uid = base + len(new_spans)
+                slot[s] = uid
+                new_spans.append(s)
+            out[i] = uid
+        if new_spans:
+            self._add_batch(new_spans)
         return out
 
 

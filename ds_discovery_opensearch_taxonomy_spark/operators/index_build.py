@@ -1417,13 +1417,20 @@ def make_direct_staging_writer(inner, out_dir: str, n_buckets: int):
                     os.remove(os.path.join(out_dir, fn))
                 except OSError:
                     pass
+        import time as _time
+
+        trace = os.environ.get("SPARK_GRAFT_WRITER_TRACE") == "1"
+        t_kernel = t_write = 0.0
         schema = _arrow_staging_schema()
         final = os.path.join(out_dir, f"{prefix}{att}.parquet")
         tmp = final + ".inprogress"
         writer = None
         sums: dict[int, int] = {}
+        t0 = _time.perf_counter()
         for rb in inner(batches):
+            t_kernel += _time.perf_counter() - t0
             if rb.num_rows == 0:
+                t0 = _time.perf_counter()
                 continue
             tid = rb.column(1).to_numpy()
             bucket = (tid % n_buckets).astype(np.int32)
@@ -1441,10 +1448,21 @@ def make_direct_staging_writer(inner, out_dir: str, n_buckets: int):
                     sums[f] = sums.get(f, 0) + int(cfs[fords == f].sum())
             if writer is None:
                 writer = pq.ParquetWriter(tmp, schema, compression="snappy")
+            t1 = _time.perf_counter()
             writer.write_table(pa.Table.from_batches([out_rb]))
+            t0 = _time.perf_counter()
+            t_write += t0 - t1
+        t1 = _time.perf_counter()
         if writer is not None:
             writer.close()
             os.rename(tmp, final)
+        t_write += _time.perf_counter() - t1
+        if trace:
+            print(
+                f"STAGING_TRACE pid={pid} kernel={t_kernel:.2f} "
+                f"write={t_write:.2f}",
+                flush=True,
+            )
         if sums:
             yield pa.RecordBatch.from_arrays(
                 [

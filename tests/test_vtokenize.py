@@ -197,3 +197,51 @@ def test_streaming_wildcard_prefix_successor():
     assert _prefix_successor("ab") == "ac"
     assert _prefix_successor("a\U0010FFFF") == "b"
     assert _prefix_successor("\U0010FFFF") is None
+
+
+def test_fast_span_predicate_matches_full_chain():
+    """Contract of FieldSpanCache._add_batch's fast path: any span matching
+    _FAST_SPAN must expand to exactly [(span, 1)] under EVERY classic chain
+    (and every whitespace-kind span does under textcaspunc)."""
+    import itertools
+    import random as _random
+
+    from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
+        _FAST_SPAN,
+        analyze_span_slots,
+    )
+
+    rng = _random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    spans = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+        for _ in range(300)
+    ] + [str(rng.randint(0, 10**12)) for _ in range(100)]
+    # shapes that must NOT take the fast path
+    spans += ["abc123", "ABC", "Abc", "a.b", "a-b", "x'y", "é", "a_b", ""]
+    for analyzer in ANALYZERS:
+        if analyzer == "textcaspunc":
+            continue  # whitespace kind: trivial for ALL spans by chain def
+        for s in spans:
+            if not s:
+                continue
+            if _FAST_SPAN.match(s):
+                terms, incs = analyze_span_slots(analyzer, s)
+                assert list(terms) == [s] and incs.tolist() == [1], (
+                    analyzer,
+                    s,
+                    terms,
+                )
+    # exhaustive over all 2-char lowercase/digit combos, every classic chain
+    chars = alpha + "0123456789"
+    for a, b in itertools.product(chars, repeat=2):
+        s = a + b
+        if _FAST_SPAN.match(s):
+            for analyzer in ANALYZERS:
+                if analyzer == "textcaspunc":
+                    continue
+                terms, incs = analyze_span_slots(analyzer, s)
+                assert list(terms) == [s] and incs.tolist() == [1], (
+                    analyzer,
+                    s,
+                )

@@ -1841,6 +1841,11 @@ def run_categories(
     field_names_b, compiled_b, df_map_b, tid_map_b, chunk_cids_b = cached_b
 
     def eval_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import os as _os
+        import time as _time
+
+        _trace = _os.environ.get("SPARK_GRAFT_EVAL_TRACE") == "1"
+        _t0 = _time.perf_counter()
         chunk, band = int(key[0]), int(key[1])
         cids = chunk_cids_b.value[chunk]
         nodes = {cid: compiled_b.value[cid] for cid in cids}
@@ -1911,6 +1916,12 @@ def run_categories(
             if top_k is not None and len(ids) > top_k:
                 ids, sc = _partial_topk(ids, sc, top_k)
             frames.append(pd.DataFrame({"category_id": cid, "doc_id": ids, "score": sc}))
+        if _trace:
+            print(
+                f"EVAL_TRACE chunk={chunk} band={band} rows={len(pdf)} "
+                f"n_cids={len(cids)} wall={_time.perf_counter() - _t0:.3f}",
+                flush=True,
+            )
         return pd.concat(frames, ignore_index=True)
 
     results = tagged.groupBy("chunk", "band").applyInPandas(eval_group, RESULT_SCHEMA)

@@ -63,6 +63,14 @@ def make_spark(
         # fixture query with a 16 KB floor; parallelismFirst then keeps
         # partitions).  Large shuffles still coalesce normally.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+        # parquet In-pushdown keeps the literal set up to this size; above
+        # it Spark falls back to a min/max RANGE filter, which on 64-bit
+        # hash term_ids spans the whole file — no row-group pruning.  The
+        # heaviest fixture query carries ~100 term_ids (default cutoff is
+        # 10): raising to 1000 cut its cold latency 7.5 -> 4.6 s and the
+        # 136-query batch cold pass 14.7 -> 9.7 s; 8192 REGRESSED the
+        # batch to 15.1 s (giant-set row-group evaluation), so keep 1000.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
         .config("spark.ui.enabled", "false")
     )
     if shuffle_partitions:

@@ -307,3 +307,71 @@ def test_reconcile_keeps_newest_attempt_and_drops_orphans(tmp_path):
     IB._reconcile_direct_write(str(tmp_path))
     names = sorted(f.name for f in bdir.glob("*"))
     assert names == ["part-00002-11.parquet", "part-00009-2.parquet"]
+
+
+def test_direct_staging_writer_retry_and_stats(tmp_path):
+    """The staging direct writer must (a) route every row with a bucket
+    column equal to term_id % n_buckets (python-mod semantics match
+    Spark's pmod for negative hashes), (b) report per-field kind-0 cf
+    sums only, and (c) replace a prior attempt's file on retry."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "staging")
+
+    def _tokens_batch():
+        # TOKENS_SCHEMA order: kind, term_id, term, ford, n, cf, min_ord,
+        # ord_bytes, tf_bytes, dl_bytes, pos_lens, pos_data, wflags
+        z = b""
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([0, 0, 1], pa.int8()),       # kind (last is sidecar)
+                pa.array([-5, 7, -1], pa.int64()),    # term_id
+                pa.array(["a", "b", None], pa.string()),
+                pa.array([0, 1, 0], pa.int32()),      # ford
+                pa.array([2, 1, 1], pa.int32()),      # n
+                pa.array([3, 4, 99], pa.int64()),     # cf
+                pa.array([0, 1, 0], pa.int64()),      # min_ord
+                pa.array([z, z, z], pa.binary()),
+                pa.array([z, z, z], pa.binary()),
+                pa.array([z, z, z], pa.binary()),
+                pa.array([z, z, z], pa.binary()),
+                pa.array([z, z, z], pa.binary()),
+                pa.array([0, 0, 0], pa.int8()),       # wflags
+            ],
+            names=[
+                "kind", "term_id", "term", "ford", "n", "cf", "min_ord",
+                "ord_bytes", "tf_bytes", "dl_bytes", "pos_lens", "pos_data",
+                "wflags",
+            ],
+        )
+
+    def inner(_batches):
+        yield _tokens_batch()
+
+    w = IB.make_direct_staging_writer(inner, out, n_buckets=4)
+    stats = list(w([]))
+    assert len(stats) == 1
+    s = stats[0].to_pydict()
+    # kind-0 cf sums per ford (cf column comes from _packed_run's defaults)
+    t = pq.read_table(f"{out}/part-00000-0.parquet")
+    assert t["bucket"].to_pylist() == [(-5) % 4, 7 % 4, (-1) % 4]
+    k0 = [k == 0 for k in t["kind"].to_pylist()]
+    by_ford = dict(zip(s["ford"], s["sum_cf"]))
+    import collections
+
+    expect = collections.defaultdict(int)
+    for ford_v, cf_v, is_k0 in zip(
+        t["ford"].to_pylist(), t["cf"].to_pylist(), k0
+    ):
+        if is_k0:
+            expect[ford_v] += cf_v
+    assert by_ford == dict(expect)
+    # retry: stale attempt + orphan replaced
+    (tmp_path / "staging" / "part-00000-42.parquet").write_bytes(b"x")
+    (tmp_path / "staging" / "part-00000-9.parquet.inprogress").write_bytes(b"y")
+    list(IB.make_direct_staging_writer(inner, out, n_buckets=4)([]))
+    from pathlib import Path
+
+    IB._reconcile_dir(Path(out))
+    names = sorted(f.name for f in (tmp_path / "staging").glob("*"))
+    assert names == ["part-00000-0.parquet"]

@@ -102,9 +102,16 @@ def main() -> int:
     # INTERLEAVE levels (4,16,4,16,...) — this host's throughput drifts
     # +-40% over tens of minutes (shared tenancy), so grouping all runs of
     # one level confounds level with time; interleaving decorrelates it
+    import time as _time
+
     samples_by: dict[int, list] = {4: [], 16: []}
     pairs: list[dict] = []
-    for _ in range(runs):
+    for it in range(runs):
+        if it:
+            # let the previous pair's ceiling burn + JVM teardown decay so
+            # the next 4c run doesn't start against our own residual load
+            # (observed load_at_start ~10 on pairs 2+ without this)
+            _time.sleep(45)
         load0 = os.getloadavg()[0]
         for cpus in (4, 16):
             samples_by[cpus].append(run_once(cpus, rows, sf_dir))

@@ -33,7 +33,11 @@ AIR_DOC = (
     "AIR 37/177"
 )
 
-_FIXTURE_PATH = Path(__file__).resolve().parent.parent.parent / "fixtures" / "categories.json"
+#: the 136 reference category queries ship INSIDE the package (package
+#: data) so a ``spark-submit --py-files pkg.zip`` deployment carries them;
+#: ``load_categories`` reads them through importlib.resources, which
+#: resolves from a zipimported package as well as a checkout.
+_FIXTURE_RESOURCE = "fixtures/categories.json"
 
 #: analyzer-stress fragments (FIXTURES.md §1) — exercise hyphen/acronym/
 #: possessive/diacritic/case handling and guarantee phrase matches
@@ -76,8 +80,12 @@ _EXTS = {"python": "py", "java": "java", "csharp": "cs", "go": "go", "sql": "sql
 
 
 def load_categories(path: str | Path | None = None) -> list[dict]:
-    p = Path(path) if path else _FIXTURE_PATH
-    return json.loads(p.read_text())
+    if path is not None:
+        return json.loads(Path(path).read_text())
+    from importlib import resources
+
+    root = resources.files(__package__.split(".", 1)[0])
+    return json.loads(root.joinpath(_FIXTURE_RESOURCE).read_text())
 
 
 def query_vocabulary(max_words: int = 320) -> list[str]:

@@ -31,8 +31,11 @@ postings + periodic compaction"):
   tables committed by ONE atomic manifest write (crash before the commit
   leaves the old main+delta view live) — the Iceberg rewrite-data-files
   analogue.  Block payloads are concatenation-valid as-is, so compaction
-  moves files, not postings; a full purge of tombstoned postings is a
-  rebuild (like a Lucene forceMerge expunging deletes).
+  moves files, not postings; it also renumbers the interval's delta salts
+  densely into [COMPACTED_SALT_BASE, DELTA_SALT_BASE) and resets the
+  batch-seq counter in the same commit, keeping the int32 salt space
+  bounded for the index's lifetime.  A full purge of tombstoned postings
+  is a rebuild (like a Lucene forceMerge expunging deletes).
 
 At-least-once streams replay safely: ``batch_key`` is recorded in the
 manifest and a committed key is a no-op.
@@ -72,12 +75,21 @@ from ds_discovery_opensearch_taxonomy_spark.sources.corpus import with_doc_ids
 #: k-way-merge-free concatenation decode exact.
 DELTA_SALT_BASE = 1 << 20
 _SALT_STRIDE = 1 << 16
-#: the salt column is int32; batch seqs are monotone for the index's whole
-#: LIFETIME (compaction keeps per-batch salts inside the main table, so a
-#: reused seq would break the concatenation order) — past this seq the salt
-#: would wrap negative and silently corrupt the global decode order, so
-#: append_batch refuses LOUDLY instead (a streaming deployment appending
-#: once per micro-batch hits this in ~32k batches: rebuild the index).
+#: compaction renumbers every delta-era salt it folds into the main table
+#: DENSELY (order-preserving) into [COMPACTED_SALT_BASE, DELTA_SALT_BASE) —
+#: above every build salt (config.max_salts <= 2^16), below every live
+#: delta — and resets the batch-seq counter in the same atomic manifest
+#: write.  Generations never interleave ords (each batch takes a fresh
+#: band-aligned ord range), so any order-preserving salt renumber keeps the
+#: (salt, blk_seq) concatenation decode exact.
+COMPACTED_SALT_BASE = 1 << 16
+#: the salt column is int32; batch seqs are monotone within one COMPACTION
+#: INTERVAL (compaction remaps the accumulated salts and resets the seq
+#: counter) — past this seq the salt would wrap negative and silently
+#: corrupt the global decode order, so append_batch refuses LOUDLY instead.
+#: With auto-compaction (config.compact_after_batches) the ceiling binds
+#: only on appends BETWEEN two compactions (~32k), and the lifetime bound
+#: becomes ~983k compacted generations (the [2^16, 2^20) dense space).
 MAX_DELTA_SEQ = ((1 << 31) - 1 - DELTA_SALT_BASE) // _SALT_STRIDE
 
 
@@ -533,9 +545,12 @@ def compact_index(
     # the postings rewrite moves every block payload: use the same
     # task-direct pyarrow writer as the build's merge stage instead of
     # df.write.partitionBy("bucket") (JVM re-encode + planned-write sort,
-    # measured 4->16 efficiency 0.29 on this exact table shape) — a
-    # passthrough mapInArrow feeds the existing writer, which re-derives
-    # bucket = term_id % n_buckets (identical to the stored column)
+    # measured 4->16 efficiency 0.29 on this exact table shape); the
+    # transform feeding it renumbers this interval's delta salts densely
+    # into the compacted range (module header: keeps the salt space and
+    # the batch-seq counter bounded for the index's lifetime) and the
+    # writer re-derives bucket = term_id % n_buckets (identical to the
+    # stored column)
     from ds_discovery_opensearch_taxonomy_spark.operators.index_build import (
         WRITER_STATS_SCHEMA,
         _arrow_blocks_schema,
@@ -543,14 +558,54 @@ def compact_index(
         make_direct_block_writer,
     )
 
-    def _passthrough(batches):
+    cur_salts = np.array(
+        sorted(delta_salt(int(d["seq"])) for d in cat.deltas().values()),
+        dtype=np.int64,
+    )
+    n_compacted = int(cat.get_meta("compacted_salts", 0) or 0)
+    new_salt_base = COMPACTED_SALT_BASE + n_compacted
+    if new_salt_base + len(cur_salts) > DELTA_SALT_BASE:
+        raise RuntimeError(
+            f"compaction would exceed the dense compacted-salt space "
+            f"({n_compacted} generations already compacted, "
+            f"{len(cur_salts)} more requested, capacity "
+            f"{DELTA_SALT_BASE - COMPACTED_SALT_BASE}) — rebuild the index "
+            "(build_index on the live corpus) to reset the salt space"
+        )
+
+    def _remap_salts(batches):
+        # previously compacted salts ([COMPACTED_SALT_BASE, DELTA_SALT_BASE))
+        # already sit in their final dense slots; only this interval's live
+        # delta salts move.  searchsorted is exact: postings_view prunes
+        # uncommitted batch dirs, so every salt >= DELTA_SALT_BASE must be a
+        # committed batch's.
+        import pyarrow as pa
+
         for rb in batches:
+            i = rb.schema.get_field_index("salt")
+            salt = rb.column(i).to_numpy(zero_copy_only=False).astype(np.int64)
+            m = salt >= DELTA_SALT_BASE
+            if m.any():
+                idx = np.searchsorted(cur_salts, salt[m])
+                ok = (idx < len(cur_salts)) & (
+                    cur_salts[np.minimum(idx, max(len(cur_salts) - 1, 0))]
+                    == salt[m]
+                )
+                if not ok.all():
+                    raise RuntimeError(
+                        "postings view contains a delta salt with no "
+                        "committed batch — refusing to compact"
+                    )
+                salt[m] = new_salt_base + idx
+                rb = rb.set_column(
+                    i, rb.schema.field(i), pa.array(salt, pa.int32())
+                )
             yield rb
 
     block_cols = [f.name for f in _arrow_blocks_schema()]
     post_gen_dir = gen_dir(IndexCatalog.POSTINGS)
     writer = make_direct_block_writer(
-        _passthrough, post_gen_dir, config.n_term_buckets
+        _remap_salts, post_gen_dir, config.n_term_buckets
     )
     postings_view(spark, cat).select(*block_cols).mapInArrow(
         writer, WRITER_STATS_SCHEMA
@@ -575,7 +630,11 @@ def compact_index(
     # SAME atomic write that clears the delta list — live n/avgdl must not
     # forget compacted docs (idf/norms would silently shrink)
     field_names = [f.name for f in config.fields]
-    cat.clear_deltas(gens, stats_base=_stats_totals(cat, field_names))
+    cat.clear_deltas(
+        gens,
+        stats_base=_stats_totals(cat, field_names),
+        compacted_salts=n_compacted + len(cur_salts),
+    )
     # GC superseded dirs (pre-commit crash leaves them live, so only now)
     for t, old in old_dirs.items():
         if old != cat.path(t):

@@ -147,9 +147,10 @@ class IndexCatalog:
         return sorted(int(d["seq"]) for d in self.deltas().values())
 
     def next_delta_seq(self) -> int:
-        """Monotone across compactions: compacted delta rows keep their
-        per-batch salts inside the main postings table, so a reused seq
-        would collide salts and break the concatenation decode order."""
+        """Monotone within one compaction interval; compaction renumbers
+        the interval's salts into the dense compacted range and resets the
+        counter atomically (clear_deltas), so a fresh seq 0 salt is again
+        above every salt in the main table."""
         m = self.manifest()
         from_meta = int(m.get("meta", {}).get("next_delta_seq", 0))
         from_deltas = (
@@ -174,14 +175,21 @@ class IndexCatalog:
         self._write_manifest(m)
 
     def clear_deltas(
-        self, gen_updates: dict[str, int], stats_base: dict | None = None
+        self,
+        gen_updates: dict[str, int],
+        stats_base: dict | None = None,
+        compacted_salts: int | None = None,
     ) -> None:
         """ONE atomic manifest write: bump table generations to the
         compacted dirs, drop the delta list, AND roll the compacted
         batches' doc/dl totals into ``meta.stats_base`` (live-stats
         derivation must keep counting them after the delta list empties).
-        A crash before this leaves the old main+delta view live; after it,
-        the compacted view."""
+        When ``compacted_salts`` is given, the compaction renumbered this
+        interval's delta salts into the dense compacted range, so the
+        batch-seq counter resets in the SAME write (resetting without the
+        renumber — or vice versa — would collide salts and corrupt the
+        concatenation decode order).  A crash before this leaves the old
+        main+delta view live; after it, the compacted view."""
         m = self.manifest()
         m["deltas"] = {}
         meta = m.setdefault("meta", {})
@@ -190,6 +198,9 @@ class IndexCatalog:
         )
         if stats_base is not None:
             meta["stats_base"] = stats_base
+        if compacted_salts is not None:
+            meta["compacted_salts"] = int(compacted_salts)
+            meta["next_delta_seq"] = 0
         self._write_manifest(m)
 
     # -- tables ----------------------------------------------------------------

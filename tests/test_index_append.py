@@ -229,10 +229,11 @@ def test_alignment_guard_rejects_partition_drift(spark):
 
 
 def test_append_compact_append_chain(spark, tmp_path_factory):
-    """The decode order must stay exact across a compaction boundary: a
-    post-compaction append's batch seq (and therefore its delta salt) must
-    continue ABOVE the compacted batches' salts now living inside the main
-    postings table — seq reuse would interleave generations wrongly."""
+    """The decode order must stay exact across a compaction boundary:
+    compaction renumbers the folded batches' delta salts densely into the
+    compacted range [2^16, 2^20) and RESETS the batch-seq counter in the
+    same atomic commit, so a post-compaction append's fresh seq-0 salt
+    (2^20) is again above every salt in the main table."""
     out = tmp_path_factory.mktemp("chain")
     full = with_doc_ids(synthesize_corpus(spark, 240))
     b0 = with_doc_ids(synthesize_corpus(spark, 120))
@@ -245,10 +246,24 @@ def test_append_compact_append_chain(spark, tmp_path_factory):
     build_index(spark, b0, str(out), TEST_CONFIG)
     eng = TaxonomyEngine(spark, str(out), TEST_CONFIG)
     assert eng.append_docs(b1, batch_key="c1") is not None
-    seq_before = eng.reader.cat.next_delta_seq()
+    assert eng.reader.cat.next_delta_seq() == 1
     assert eng.compact() is not None
-    # seq counter survives the compaction (deltas list is empty now)
-    assert eng.reader.cat.next_delta_seq() == seq_before
+    # the seq counter reset with the salt renumber (atomic manifest write)
+    assert eng.reader.cat.next_delta_seq() == 0
+    assert int(eng.reader.cat.get_meta("compacted_salts")) == 1
+    # the folded batch's postings now sit in the dense compacted salt range
+    from ds_discovery_opensearch_taxonomy_spark.operators.index_append import (
+        COMPACTED_SALT_BASE,
+        DELTA_SALT_BASE,
+    )
+
+    salts = [
+        int(r["salt"])
+        for r in eng.reader.postings()
+        .select("salt").distinct().collect()
+    ]
+    assert COMPACTED_SALT_BASE in salts
+    assert not [s for s in salts if s >= DELTA_SALT_BASE]
     assert eng.append_docs(b2, batch_key="c2") is not None
     rows = [r.asDict() for r in full.collect()]
     oracle = OracleIndex(
@@ -263,8 +278,17 @@ def test_append_compact_append_chain(spark, tmp_path_factory):
     )
     _parity(spark, eng, oracle, QUERIES[:3], scored=True)
     assert eng.reader.docs().count() == 240
-    # compact once more and stay exact
+    # compact once more and stay exact: the second generation lands in the
+    # next dense slot, previously compacted salts keep theirs
     assert eng.compact() is not None
+    assert int(eng.reader.cat.get_meta("compacted_salts")) == 2
+    assert eng.reader.cat.next_delta_seq() == 0
+    salts = [
+        int(r["salt"])
+        for r in eng.reader.postings().select("salt").distinct().collect()
+    ]
+    assert {COMPACTED_SALT_BASE, COMPACTED_SALT_BASE + 1} <= set(salts)
+    assert not [s for s in salts if s >= DELTA_SALT_BASE]
     _parity(spark, eng, oracle, QUERIES[:3], scored=True)
 
 

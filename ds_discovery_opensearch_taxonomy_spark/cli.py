@@ -207,7 +207,13 @@ def main(argv: list[str] | None = None) -> int:
         metrics = eng.append_docs(
             spark.read.parquet(args.corpus), batch_key=args.batch_key
         )
-        print(json.dumps(metrics or {"replayed": True}))
+        # same segment-merge policy the streaming path applies per batch —
+        # scripted daily appends must not accumulate deltas unboundedly
+        compacted = eng.maybe_compact()
+        out = dict(metrics) if metrics else {"replayed": True}
+        if compacted:
+            out["compacted"] = compacted
+        print(json.dumps(out))
     elif args.mode == "compact":
         eng = TaxonomyEngine(spark, args.index)
         out = eng.compact()

@@ -558,45 +558,55 @@ def compact_index(
         make_direct_block_writer,
     )
 
-    cur_salts = np.array(
-        sorted(delta_salt(int(d["seq"])) for d in cat.deltas().values()),
+    # remap domain comes from the DATA, not the manifest: every delta-era
+    # salt (>= COMPACTED_SALT_BASE) actually present in the view — earlier
+    # compacted generations in their dense slots, PLUS legacy generations
+    # compacted before this renumbering existed (those kept their original
+    # >= 2^20 salts), PLUS this interval's live deltas.  Sorted salt order
+    # equals ord order in every one of those regimes (seqs were monotone
+    # pre-renumber; dense slots are rank-assigned post-renumber), so one
+    # dense order-preserving renumber is exact for all of them and
+    # self-heals legacy indexes.  The distinct scan is bounded by the
+    # number of generations, one narrow column off a table compaction
+    # full-scans anyway.
+    old_salts = np.array(
+        sorted(
+            int(r["salt"])
+            for r in postings_view(spark, cat)
+            .where(F.col("salt") >= COMPACTED_SALT_BASE)
+            .select("salt")
+            .distinct()
+            .collect()
+        ),
         dtype=np.int64,
     )
-    n_compacted = int(cat.get_meta("compacted_salts", 0) or 0)
-    new_salt_base = COMPACTED_SALT_BASE + n_compacted
-    if new_salt_base + len(cur_salts) > DELTA_SALT_BASE:
+    if COMPACTED_SALT_BASE + len(old_salts) > DELTA_SALT_BASE:
         raise RuntimeError(
             f"compaction would exceed the dense compacted-salt space "
-            f"({n_compacted} generations already compacted, "
-            f"{len(cur_salts)} more requested, capacity "
+            f"({len(old_salts)} delta-era generations, capacity "
             f"{DELTA_SALT_BASE - COMPACTED_SALT_BASE}) — rebuild the index "
             "(build_index on the live corpus) to reset the salt space"
         )
 
     def _remap_salts(batches):
-        # previously compacted salts ([COMPACTED_SALT_BASE, DELTA_SALT_BASE))
-        # already sit in their final dense slots; only this interval's live
-        # delta salts move.  searchsorted is exact: postings_view prunes
-        # uncommitted batch dirs, so every salt >= DELTA_SALT_BASE must be a
-        # committed batch's.
         import pyarrow as pa
 
         for rb in batches:
             i = rb.schema.get_field_index("salt")
             salt = rb.column(i).to_numpy(zero_copy_only=False).astype(np.int64)
-            m = salt >= DELTA_SALT_BASE
+            m = salt >= COMPACTED_SALT_BASE
             if m.any():
-                idx = np.searchsorted(cur_salts, salt[m])
-                ok = (idx < len(cur_salts)) & (
-                    cur_salts[np.minimum(idx, max(len(cur_salts) - 1, 0))]
+                idx = np.searchsorted(old_salts, salt[m])
+                ok = (idx < len(old_salts)) & (
+                    old_salts[np.minimum(idx, max(len(old_salts) - 1, 0))]
                     == salt[m]
                 )
                 if not ok.all():
                     raise RuntimeError(
-                        "postings view contains a delta salt with no "
-                        "committed batch — refusing to compact"
+                        "postings view contains a delta-era salt missing "
+                        "from the remap domain — refusing to compact"
                     )
-                salt[m] = new_salt_base + idx
+                salt[m] = COMPACTED_SALT_BASE + idx
                 rb = rb.set_column(
                     i, rb.schema.field(i), pa.array(salt, pa.int32())
                 )
@@ -633,7 +643,7 @@ def compact_index(
     cat.clear_deltas(
         gens,
         stats_base=_stats_totals(cat, field_names),
-        compacted_salts=n_compacted + len(cur_salts),
+        compacted_salts=len(old_salts),
     )
     # GC superseded dirs (pre-commit crash leaves them live, so only now)
     for t, old in old_dirs.items():

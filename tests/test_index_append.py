@@ -380,6 +380,55 @@ def test_next_ord_commit_is_atomic_and_self_repairing(spark, tmp_path_factory):
     _parity(spark, eng, oracle, QUERIES[:3], scored=True)
 
 
+def test_compaction_remaps_arbitrary_salt_domains(spark, tmp_path_factory):
+    """The remap domain is derived from the DATA (distinct salts >= 2^16
+    in the view), not assumed dense-from-base — so a legacy index whose
+    earlier compactions kept raw >= 2^20 salts in the main table, or any
+    seq drift, renumbers correctly.  Emulated by starting the seq counter
+    at 5: the folded salts are high and non-dense, and must land at the
+    dense base with the counter reset."""
+    from ds_discovery_opensearch_taxonomy_spark.operators.index_append import (
+        COMPACTED_SALT_BASE,
+        DELTA_SALT_BASE,
+        delta_salt,
+    )
+
+    out = tmp_path_factory.mktemp("salt_domain")
+    full = with_doc_ids(synthesize_corpus(spark, 160))
+    b0 = with_doc_ids(synthesize_corpus(spark, 80))
+    b1 = full.join(b0.select("doc_id"), "doc_id", "left_anti")
+    build_index(spark, b0, str(out), TEST_CONFIG)
+    eng = TaxonomyEngine(spark, str(out), TEST_CONFIG)
+    eng.reader.cat.set_meta("next_delta_seq", 5)
+    m1 = eng.append_docs(b1, batch_key="drift")
+    assert m1 is not None and m1["seq"] == 5
+    salts = {
+        int(r["salt"])
+        for r in eng.reader.postings().select("salt").distinct().collect()
+    }
+    assert delta_salt(5) in salts
+    assert eng.compact() is not None
+    assert eng.reader.cat.next_delta_seq() == 0
+    salts = {
+        int(r["salt"])
+        for r in eng.reader.postings().select("salt").distinct().collect()
+    }
+    assert COMPACTED_SALT_BASE in salts
+    assert not {s for s in salts if s >= DELTA_SALT_BASE}
+    rows = [r.asDict() for r in full.collect()]
+    oracle = OracleIndex(
+        [
+            build_oracle_doc(
+                r["doc_id"], r, TEST_CONFIG,
+                doc_ref=f'{r["repo"]}/{r["path"]}/{r["commit"]}',
+            )
+            for r in rows
+        ],
+        TEST_CONFIG,
+    )
+    _parity(spark, eng, oracle, QUERIES[:3], scored=True)
+
+
 def test_delta_salt_exhaustion_fails_loudly(spark, tmp_path_factory):
     """Batch seqs past the int32 salt headroom must raise (a wrapped salt
     would silently corrupt the global decode order), directing to a

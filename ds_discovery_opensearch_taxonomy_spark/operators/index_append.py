@@ -173,8 +173,11 @@ def append_batch(
     """Append one batch of corpus rows to the live index (idempotent by
     ``batch_key``).  Returns the committed metrics, or None for a replayed
     or empty batch."""
-    if batch_key in cat.deltas():
-        return None  # at-least-once replay: already committed
+    if cat.batch_key_seen(batch_key):
+        # at-least-once replay: already committed as a live delta, or
+        # already folded into main by a compaction (keys survive
+        # clear_deltas in meta.compacted_batch_keys)
+        return None
     fmt = cat.get_meta("format")
     if fmt != INDEX_FORMAT_VERSION:
         raise RuntimeError(
@@ -596,9 +599,15 @@ def compact_index(
             salt = rb.column(i).to_numpy(zero_copy_only=False).astype(np.int64)
             m = salt >= COMPACTED_SALT_BASE
             if m.any():
+                if len(old_salts) == 0:
+                    raise RuntimeError(
+                        "postings view contains a delta-era salt but the "
+                        "remap domain scan saw none (a concurrent append?) "
+                        "— refusing to compact"
+                    )
                 idx = np.searchsorted(old_salts, salt[m])
                 ok = (idx < len(old_salts)) & (
-                    old_salts[np.minimum(idx, max(len(old_salts) - 1, 0))]
+                    old_salts[np.minimum(idx, len(old_salts) - 1)]
                     == salt[m]
                 )
                 if not ok.all():
@@ -614,6 +623,12 @@ def compact_index(
 
     block_cols = [f.name for f in _arrow_blocks_schema()]
     post_gen_dir = gen_dir(IndexCatalog.POSTINGS)
+    # a compaction that crashed before its manifest commit leaves part
+    # files in this same (uncommitted) generation dir; unlike df.write's
+    # overwrite mode the direct writer never truncates, and a retry with
+    # different task partitioning would commit the leftovers alongside its
+    # own output (duplicate postings, stale salt remap)
+    shutil.rmtree(post_gen_dir, ignore_errors=True)
     writer = make_direct_block_writer(
         _remap_salts, post_gen_dir, config.n_term_buckets
     )

@@ -191,8 +191,14 @@ class IndexCatalog:
         concatenation decode order).  A crash before this leaves the old
         main+delta view live; after it, the compacted view."""
         m = self.manifest()
-        m["deltas"] = {}
         meta = m.setdefault("meta", {})
+        # compacted batches must STAY replay-detectable: an at-least-once
+        # producer retrying a batch_key right after a compaction would
+        # otherwise re-ingest it (double-counted stats, tombstone churn).
+        # FIFO-capped — any realistic replay window is far shorter.
+        keys = meta.get("compacted_batch_keys", []) + sorted(m.get("deltas", {}))
+        meta["compacted_batch_keys"] = keys[-self.MAX_REPLAY_KEYS:]
+        m["deltas"] = {}
         meta.setdefault("gen", {}).update(
             {t: int(g) for t, g in gen_updates.items()}
         )
@@ -202,6 +208,17 @@ class IndexCatalog:
             meta["compacted_salts"] = int(compacted_salts)
             meta["next_delta_seq"] = 0
         self._write_manifest(m)
+
+    #: replay-detection window for compacted batch keys (FIFO)
+    MAX_REPLAY_KEYS = 4096
+
+    def batch_key_seen(self, key: str) -> bool:
+        """True when ``key`` was committed as a live delta OR already
+        folded into the main tables by a compaction (replay no-op)."""
+        m = self.manifest()
+        return key in m.get("deltas", {}) or key in m.get("meta", {}).get(
+            "compacted_batch_keys", []
+        )
 
     # -- tables ----------------------------------------------------------------
 

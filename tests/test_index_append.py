@@ -264,6 +264,9 @@ def test_append_compact_append_chain(spark, tmp_path_factory):
     ]
     assert COMPACTED_SALT_BASE in salts
     assert not [s for s in salts if s >= DELTA_SALT_BASE]
+    # compaction must not erase the idempotency ledger: a replayed
+    # batch_key stays a no-op even after its delta was folded into main
+    assert eng.append_docs(b1, batch_key="c1") is None
     assert eng.append_docs(b2, batch_key="c2") is not None
     rows = [r.asDict() for r in full.collect()]
     oracle = OracleIndex(

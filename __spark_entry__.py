@@ -102,6 +102,37 @@ def _incr_engine(spark: SparkSession, sf_dir: str) -> TaxonomyEngine:
     return _INCR_ENGINES[sf_dir]
 
 
+_COMPACT_ENGINES: dict[str, TaxonomyEngine] = {}
+
+
+def _cmp_engine(spark: SparkSession, sf_dir: str) -> TaxonomyEngine:
+    """Engine exercising the FULL maintenance cycle: build on 60% of the
+    documents table, append 20%, COMPACT (folds the delta into
+    generation-versioned main tables, renumbers its salt into the dense
+    compacted range and resets the batch-seq counter —
+    operators/index_append.compact_index), then append the last 20% with
+    a post-reset seq.  Queries read main∪delta across a compaction
+    boundary.  Replays are no-ops (compacted batch keys stay in the
+    manifest's replay ledger), so re-running converges to the same live
+    view."""
+    if sf_dir not in _COMPACT_ENGINES:
+        key = hashlib.sha1((sf_dir + ":cmp:v1").encode()).hexdigest()[:10]
+        idx = Path("/root/repo/.scratch") / f"entry_index_{key}"
+        corpus = _docs(spark, sf_dir).withColumn(
+            "NUM_START_DATE",
+            (F.lit(19000101) + (F.col("doc_id") % 120) * 10000).cast("int"),
+        )
+        part = F.pmod(F.col("doc_id"), F.lit(5))
+        base = corpus.where(part >= 2)
+        build_index(spark, base, str(idx), DOCS_CONFIG, resume=True)
+        eng = TaxonomyEngine(spark, str(idx), DOCS_CONFIG)
+        eng.append_docs(corpus.where(part == 0), batch_key="cmp-0")
+        eng.compact()
+        eng.append_docs(corpus.where(part == 1), batch_key="cmp-1")
+        _COMPACT_ENGINES[sf_dir] = eng
+    return _COMPACT_ENGINES[sf_dir]
+
+
 # --------------------------------------------------------------------------
 
 
@@ -468,6 +499,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, eng.reader, [("q", '"table" AND "window"')], scored=True
         ).select("doc_id", F.round("score", 4).alias("score"))
 
+    def q_compacted_index(spark, sf):  # I6/S8: compaction across a reset
+        """Full maintenance cycle (SURVEY §3.2): build 60% + append 20% +
+        COMPACT (delta folded into generation-versioned main tables, salt
+        renumbered into the dense compacted range, batch-seq counter
+        reset) + append 20% post-reset — then a scored match query over
+        the live view must equal full-table BM25 exactly (compacted
+        postings decode in order, stats_base rolled, post-reset delta
+        folds on top)."""
+        eng = _cmp_engine(spark, sf)
+        return run_categories(
+            spark, eng.reader, [("q", '"merge" AND "filter"')], scored=True
+        ).select("doc_id", F.round("score", 4).alias("score"))
+
     return {
         "q_match_bool": q_match_bool,
         "q_match_or": q_match_or,
@@ -512,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_categorise_all": q_categorise_all,
         "q_incremental_index": q_incremental_index,
+        "q_compacted_index": q_compacted_index,
     }
 
 
@@ -667,6 +712,16 @@ WITH d2 AS (
             "SELECT doc_id, round(score, 4) AS score FROM scores "
             "WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'table') "
             "  AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'window')",
+        ),
+        # full maintenance cycle: 60% build + append + COMPACT (salt
+        # renumber, seq reset) + append — the oracle is again plain
+        # full-table BM25, so a green row proves compaction preserves the
+        # decode order and the live stats exactly
+        "q_compacted_index": bm25(
+            ["merge", "filter"],
+            "SELECT doc_id, round(score, 4) AS score FROM scores "
+            "WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge') "
+            "  AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'filter')",
         ),
         "q_count": f"""
             SELECT count(*) AS match_count FROM documents

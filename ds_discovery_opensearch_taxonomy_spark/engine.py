@@ -43,6 +43,10 @@ class TaxonomyEngine:
         self.config = config or EngineConfig()
         self.reader = search_ops.IndexReader(spark, index_dir, self.config)
         self._categories: list[dict] | None = None
+        #: streaming micro-batch compile payload (broadcast) + its
+        #: (category pairs, config) cache key — see streaming._batch_payload
+        self._stream_payload = None
+        self._stream_payload_key = None
 
     # -- construction ---------------------------------------------------------
 
@@ -67,16 +71,24 @@ class TaxonomyEngine:
 
     def refresh(self) -> None:
         """Rebind to the index's current state (after appends/compaction):
-        drops the reader's persisted tables, compile caches and the stream
-        payload so the next query sees the live view — the OpenSearch
-        "refresh makes changes searchable" analogue."""
+        drops the reader's persisted tables and compile caches so the next
+        query sees the live view — the OpenSearch "refresh makes changes
+        searchable" analogue.
+
+        The streaming micro-batch payload (``_stream_payload``) deliberately
+        SURVIVES a refresh: the batch categoriser evaluates unscored bool
+        membership (df/N/avgdl in the payload are never read, see
+        ``_Evaluator._score_term``) and re-expands every dictionary-dependent
+        construct against the BATCH vocabulary from its kept ``source`` node,
+        so no part of the compiled payload depends on index state.  Dropping
+        it here made every daily-update micro-batch recompile the full
+        category set (~7-8 s per batch at 136 categories — measured,
+        BENCH.md streaming decomposition); it is invalidated by category or
+        config changes instead (keyed in streaming._batch_payload)."""
         self.reader.unpersist()
         self.reader = search_ops.IndexReader(
             self.spark, str(self.reader.cat.root), self.config
         )
-        if getattr(self, "_stream_payload", None) is not None:
-            self._stream_payload.unpersist()
-            self._stream_payload = None
 
     def append_docs(self, rows_df: DataFrame, batch_key: str) -> dict | None:
         """Append new/updated corpus rows to the LIVE index (idempotent by

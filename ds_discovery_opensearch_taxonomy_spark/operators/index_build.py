@@ -313,15 +313,28 @@ def attach_ords(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        start = offsets[pid]
-        nxt = start
+        # The offsets pass sees only NON-EMPTY pids, so trailing empty
+        # partitions (tiny files split to satisfy minPartitionNum: parquet
+        # row-groups don't split, so later byte ranges carry no rows) may
+        # have pid >= len(offsets).  They are legal and yield nothing; a
+        # ROW arriving there is planning drift and must fail loudly.
+        start = offsets[pid] if pid < len(offsets) else None
+        nxt = start or 0
         for rb in batches:
+            if start is None and rb.num_rows:
+                raise RuntimeError(
+                    f"partition {pid} has rows but the offsets pass saw only "
+                    f"{len(offsets)} partitions — input partitioning drifted "
+                    "between scans; materialize the corpus (write to parquet) "
+                    "before building"
+                )
             ords = pa.array(
                 np.arange(nxt, nxt + rb.num_rows, dtype=np.int64), pa.int64()
             )
             nxt += rb.num_rows
             yield rb.append_column("ord", ords)
-        _check_partition_count(pid, nxt - start, expected)
+        if start is not None:
+            _check_partition_count(pid, nxt - start, expected)
 
     return df.mapInArrow(run, out_schema)
 
@@ -494,11 +507,20 @@ def tokenize_corpus(
 
         tok = ChunkTokenizer(specs)
         pid = TaskContext.get().partitionId()
-        start_ord = offsets[pid]
-        next_ord = start_ord
+        # same trailing-empty-partition contract as attach_ords: the offsets
+        # pass sees only non-empty pids; rows past its range = drift.
+        start_ord = offsets[pid] if pid < len(offsets) else None
+        next_ord = start_ord or 0
         acc: dict[int, dict] = {}
         sent: dict[int, dict] = {}
         for rb in batches:
+            if start_ord is None and rb.num_rows:
+                raise RuntimeError(
+                    f"partition {pid} has rows but the offsets pass saw only "
+                    f"{len(offsets)} partitions — input partitioning drifted "
+                    "between scans; materialize the corpus (write to parquet) "
+                    "before building"
+                )
             names = rb.schema.names
             for lo in range(0, rb.num_rows, chunk):
                 sub = rb.slice(lo, chunk)
@@ -530,7 +552,8 @@ def tokenize_corpus(
                     sd = sent.setdefault(r["ford"], {"ord": [], "dl": []})
                     sd["ord"].append(d[first])
                     sd["dl"].append(r["dl"][first])
-        _check_partition_count(pid, next_ord - start_ord, expected)
+        if start_ord is not None:
+            _check_partition_count(pid, next_ord - start_ord, expected)
         for ford in sorted(acc):
             yield _pack_field_runs(ford, acc[ford], tok.caches[ford])
             yield _pack_sentinel(ford, sent[ford])

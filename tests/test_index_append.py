@@ -340,6 +340,44 @@ def test_streaming_updates_live_index(spark, tmp_path_factory):
     assert len(got) == 7  # the stream categorised exactly the new docs
 
 
+def test_stream_payload_survives_refresh_invalidates_on_category_edit(
+    spark, tmp_path_factory
+):
+    """The micro-batch compile payload is index-state-INDEPENDENT (bool
+    mode never reads df/N/avgdl; wildcard/range/fuzzy re-expand against the
+    batch vocabulary from their kept ``source`` nodes), so the per-batch
+    index append's ``engine.refresh()`` must NOT recompile it — dropping it
+    there cost ~7-8 s of recompilation per daily micro-batch at 136
+    categories.  Only a category or config edit may invalidate."""
+    from ds_discovery_opensearch_taxonomy_spark.streaming.incremental import (
+        _batch_payload,
+    )
+
+    out = tmp_path_factory.mktemp("payload")
+    base = with_doc_ids(synthesize_corpus(spark, 40))
+    build_index(spark, base, str(out / "idx"), TEST_CONFIG)
+    eng = TaxonomyEngine(spark, str(out / "idx"), TEST_CONFIG)
+    eng.set_categories(
+        [{"category_id": "C1", "title": "W", "query_text": '"women" AND suffrag*'}]
+    )
+    p1 = _batch_payload(eng)
+    eng.refresh()
+    assert _batch_payload(eng) is p1  # survives index refresh
+    # an appended batch categorises correctly off the cached payload: the
+    # wildcard expands against the BATCH vocabulary, not the stale compile
+    rows = [{"doc_id": 1, "content": "women suffragette march"}]
+    cats = eng.categorise_docs(rows)
+    assert [c["category_id"] for c in cats[0]["categories"]] == ["C1"]
+    # category edit -> rebuilt payload
+    eng.set_categories(
+        [{"category_id": "C2", "title": "X", "query_text": '"ration"'}]
+    )
+    p2 = _batch_payload(eng)
+    assert p2 is not p1
+    # unchanged categories -> the rebuilt payload is then stable again
+    assert _batch_payload(eng) is p2
+
+
 def test_next_ord_commit_is_atomic_and_self_repairing(spark, tmp_path_factory):
     """A committed append advances next_ord in the SAME manifest write
     (commit_delta), and a manifest left by the OLD two-write protocol

@@ -202,3 +202,52 @@ def test_air_force_reference_doc(built, spark):
     ).collect()
     air_doc_id = rows[0]["doc_id"]
     assert any(r["doc_id"] == air_doc_id for r in res)
+
+
+def test_ord_passes_tolerate_empty_trailing_partitions(spark, tmp_path_factory):
+    """A tiny file split to satisfy minPartitionNum plans byte ranges with
+    NO rows (parquet row-groups don't split), so scan partitions can
+    outnumber the non-empty pids the offsets pass saw.  attach_ords and the
+    tokenize pass must treat over-range EMPTY partitions as legal (the
+    streaming micro-batch append hits this on every small batch) while still
+    failing loudly if rows show up there."""
+    from ds_discovery_opensearch_taxonomy_spark.operators.index_build import (
+        attach_ords,
+        expected_counts,
+        partition_offsets,
+    )
+    from ds_discovery_opensearch_taxonomy_spark.sources.corpus import with_doc_ids
+
+    out = tmp_path_factory.mktemp("tinyfile")
+    src = spark.createDataFrame(
+        [(f"r{i}", f"p{i}.py", f"{i:040x}", "py", f"alpha beta doc{i}")
+         for i in range(5)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    with_doc_ids(src).coalesce(1).write.mode("overwrite").parquet(str(out / "c"))
+    old = spark.conf.get("spark.sql.files.minPartitionNum", None)
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes", None)
+    spark.conf.set("spark.sql.files.minPartitionNum", "16")
+    # default 4 MB openCost floors split size above the whole file; drop it
+    # so the tiny file really splits into empty byte-range partitions
+    spark.conf.set("spark.sql.files.openCostInBytes", "16")
+    try:
+        corpus = spark.read.parquet(str(out / "c"))
+        n_parts = corpus.rdd.getNumPartitions()
+        offsets, n_docs = partition_offsets(corpus)
+        assert n_docs == 5
+        # the regression precondition: more planned partitions than offsets
+        assert n_parts > len(offsets), (n_parts, len(offsets))
+        got = attach_ords(
+            corpus, offsets, expected_counts(offsets, n_docs)
+        ).select("ord").collect()
+        assert sorted(r["ord"] for r in got) == list(range(5))
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.files.minPartitionNum")
+        else:
+            spark.conf.set("spark.sql.files.minPartitionNum", old)
+        if old_cost is None:
+            spark.conf.unset("spark.sql.files.openCostInBytes")
+        else:
+            spark.conf.set("spark.sql.files.openCostInBytes", old_cost)

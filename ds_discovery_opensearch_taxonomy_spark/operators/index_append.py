@@ -557,7 +557,9 @@ def compact_index(
     from ds_discovery_opensearch_taxonomy_spark.operators.index_build import (
         WRITER_STATS_SCHEMA,
         _arrow_blocks_schema,
+        _int_keys,
         _reconcile_direct_write,
+        attempts_map,
         make_direct_block_writer,
     )
 
@@ -632,10 +634,14 @@ def compact_index(
     writer = make_direct_block_writer(
         _remap_salts, post_gen_dir, config.n_term_buckets
     )
-    postings_view(spark, cat).select(*block_cols).mapInArrow(
-        writer, WRITER_STATS_SCHEMA
-    ).collect()
-    _reconcile_direct_write(post_gen_dir)
+    w_stats = (
+        postings_view(spark, cat)
+        .select(*block_cols)
+        .mapInArrow(writer, WRITER_STATS_SCHEMA)
+        .collect()
+    )
+    post_atts = attempts_map(w_stats)
+    _reconcile_direct_write(post_gen_dir, _int_keys(post_atts))
     dictionary_view(spark, cat, config).repartition(
         2 * config.n_term_buckets, "bucket"
     ).write.mode("overwrite").partitionBy("bucket").parquet(
@@ -659,6 +665,9 @@ def compact_index(
         gens,
         stats_base=_stats_totals(cat, field_names),
         compacted_salts=len(old_salts),
+        # committed-attempt map of the NEW postings generation — must flip
+        # with the generation pointer (see clear_deltas)
+        postings_attempts=post_atts,
     )
     # GC superseded dirs (pre-commit crash leaves them live, so only now)
     for t, old in old_dirs.items():

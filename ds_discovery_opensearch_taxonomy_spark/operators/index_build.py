@@ -1195,6 +1195,10 @@ WRITER_STATS_SCHEMA = T.StructType(
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("blocks", T.LongType(), False),
         T.StructField("postings", T.LongType(), False),
+        # the attempt that SUCCEEDED — reconciliation keeps exactly this
+        # attempt's files (keep-newest is wrong under speculation: the
+        # killed copy can have the higher attempt id)
+        T.StructField("att", T.LongType(), False),
     ]
 )
 
@@ -1225,9 +1229,14 @@ def make_direct_block_writer(builder, out_dir: str, n_buckets: int):
     half-written parquet; names embed the partition id and task attempt
     (``part-<pid>-<attempt>.parquet``), a retry first removes its
     predecessor's files, and the driver reconciles leftovers after the
-    job (_reconcile_direct_write) — output is deterministic per
-    partition (the builder sorts its whole input), so either attempt's
-    file is byte-equivalent data."""
+    job (_reconcile_direct_write).  Stat rows carry the attempt id, so
+    the driver deletes every file NOT written by the attempt Spark
+    reported success for — under speculative execution both attempts can
+    commit files (the killed copy may rename AFTER emitting nothing),
+    and keeping both would duplicate posting blocks, silently doubling
+    tf/df at decode.  The committed (pid -> attempt) map is persisted in
+    the manifest so readers re-reconcile at open, closing the window
+    where a zombie attempt renames its file after the post-job sweep."""
 
     def run(batches):
         import os
@@ -1336,38 +1345,93 @@ def make_direct_block_writer(builder, out_dir: str, n_buckets: int):
                     pa.array(
                         [postings_n[b] for b in sorted(blocks_n)], pa.int64()
                     ),
+                    pa.array([att] * len(blocks_n), pa.int64()),
                 ],
-                names=["pid", "bucket", "blocks", "postings"],
+                names=["pid", "bucket", "blocks", "postings", "att"],
             )
 
     return run
 
 
-def _reconcile_dir(bdir) -> None:
+def _reconcile_dir(bdir, expected: dict[int, int] | None = None) -> None:
     """Per-directory cleanup for direct task writes: remove orphaned
-    ``.inprogress`` files (killed attempts) and, should two attempts of
-    one partition both have committed (speculation — off by default
-    locally, possible on a cluster), keep the newest attempt's file."""
+    ``.inprogress`` files (killed attempts) and resolve duplicate
+    committed attempts of one partition.
+
+    ``expected`` is the (pid -> attempt id) map assembled from the stat
+    rows of the attempts Spark reported SUCCESS for — with it, exactly
+    those attempts' files survive: any other attempt's file (a
+    speculative copy that committed before being killed, or a zombie that
+    renamed late) and any pid with no committed stats row is removed.
+    Without it (legacy indexes with no persisted map), fall back to
+    keep-newest — correct for plain task RETRIES (the retry has the
+    higher attempt id and identical deterministic output) but NOT under
+    speculation, which is why all current writers persist the map."""
     for f in bdir.glob("*.inprogress"):
         f.unlink(missing_ok=True)
-    by_pid: dict[str, list] = {}
+    by_pid: dict[int, list] = {}
     for f in bdir.glob("part-*.parquet"):
         parts = f.stem.split("-")
         if len(parts) >= 3:
-            by_pid.setdefault(parts[1], []).append(f)
+            by_pid.setdefault(int(parts[1]), []).append(f)
+    if expected is not None:
+        for pid, files in by_pid.items():
+            keep = expected.get(pid)
+            for f in files:
+                if keep is None or int(f.stem.split("-")[2]) != keep:
+                    f.unlink(missing_ok=True)
+        return
     for files in by_pid.values():
         if len(files) > 1:
             for f in sorted(files, key=lambda p: int(p.stem.split("-")[2]))[:-1]:
                 f.unlink(missing_ok=True)
 
 
-def _reconcile_direct_write(out_dir) -> None:
+def _reconcile_direct_write(
+    out_dir, expected: dict[int, int] | None = None
+) -> None:
     """Post-job cleanup for the bucketed direct writer; runs on the
-    driver after the stats collect() proves the job done."""
+    driver after the stats collect() proves the job done (and again at
+    reader open, from the manifest-persisted map — see
+    reconcile_from_manifest)."""
     from pathlib import Path
 
     for bdir in Path(out_dir).glob("bucket=*"):
-        _reconcile_dir(bdir)
+        _reconcile_dir(bdir, expected)
+
+
+def attempts_map(stats) -> dict[str, int]:
+    """(pid -> succeeded attempt id) from collected direct-writer stat
+    rows, string-keyed for JSON manifest storage."""
+    return {str(int(r["pid"])): int(r["att"]) for r in stats}
+
+
+def _int_keys(m: dict | None) -> dict[int, int] | None:
+    return None if m is None else {int(k): int(v) for k, v in m.items()}
+
+
+def reconcile_from_manifest(cat) -> None:
+    """Re-run direct-write reconciliation from the manifest-persisted
+    attempt maps — called at IndexReader open.  Closes the zombie window:
+    a speculative attempt killed mid-task can os.rename its completed
+    file AFTER the post-job sweep ran; any reader opened later (same
+    Spark app — executors of a dead app die with it, so crash-restart
+    cannot produce new zombies) prunes it here before the first scan.
+    No-op for tables without a persisted map (pre-round-4 indexes, or
+    JVM-written tables whose committer already handles speculation)."""
+    post = _int_keys(cat.get_meta("postings_attempts"))
+    if post is not None:
+        _reconcile_direct_write(cat.path("postings"), post)
+    stg = _int_keys(
+        cat.manifest()["stages"]
+        .get("staging", {})
+        .get("metrics", {})
+        .get("attempts")
+    )
+    if stg is not None:
+        from pathlib import Path
+
+        _reconcile_dir(Path(cat.path("staging")), stg)
 
 
 #: direct staging-write stats: per-(task, field) cf sums over kind-0 rows
@@ -1378,6 +1442,7 @@ STAGING_STATS_SCHEMA = T.StructType(
         T.StructField("pid", T.IntegerType(), False),
         T.StructField("ford", T.IntegerType(), False),
         T.StructField("sum_cf", T.LongType(), False),
+        T.StructField("att", T.LongType(), False),  # see WRITER_STATS_SCHEMA
     ]
 )
 
@@ -1492,8 +1557,9 @@ def make_direct_staging_writer(inner, out_dir: str, n_buckets: int):
                     pa.array([pid] * len(sums), pa.int32()),
                     pa.array(sorted(sums), pa.int32()),
                     pa.array([sums[f] for f in sorted(sums)], pa.int64()),
+                    pa.array([att] * len(sums), pa.int64()),
                 ],
-                names=["pid", "ford", "sum_cf"],
+                names=["pid", "ford", "sum_cf", "att"],
             )
 
     return run
@@ -1566,7 +1632,11 @@ def _build_postings_single_job(
         .mapInArrow(writer, WRITER_STATS_SCHEMA)
         .collect()
     )
-    _reconcile_direct_write(post_dir)
+    atts = attempts_map(stats)
+    _reconcile_direct_write(post_dir, _int_keys(atts))
+    # persisted so every reader open re-prunes non-committed attempt
+    # files (zombie speculative renames after this sweep)
+    cat.set_meta("postings_attempts", atts)
     blocks_by_bucket: dict[int, int] = {b: 0 for b in range(nb)}
     postings_by_bucket: dict[int, int] = {b: 0 for b in range(nb)}
     for r in stats:
@@ -1688,14 +1758,19 @@ def build_index(
             expected=expected_counts(offsets, n_docs),
             direct_out=stg_dir,
         ).collect()
-        _reconcile_dir(_Path(stg_dir))
+        atts = attempts_map(stats)
+        _reconcile_dir(_Path(stg_dir), _int_keys(atts))
         by_ford: dict[int, int] = {}
         for r in stats:
             by_ford[int(r["ford"])] = by_ford.get(int(r["ford"]), 0) + int(
                 r["sum_cf"]
             )
         sum_dl = {fn: by_ford.get(i, 0) for i, fn in enumerate(field_names)}
-        return {"bytes": cat.table_bytes(IndexCatalog.STAGING), "sum_dl": sum_dl}
+        return {
+            "bytes": cat.table_bytes(IndexCatalog.STAGING),
+            "sum_dl": sum_dl,
+            "attempts": atts,  # reconcile_from_manifest re-prunes from this
+        }
 
     _run_stages_concurrently(
         cat,

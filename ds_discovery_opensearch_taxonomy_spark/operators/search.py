@@ -60,6 +60,14 @@ class IndexReader:
         self.spark = spark
         self.config = config or EngineConfig()
         self.cat = IndexCatalog(index_dir)
+        # prune direct-write files from attempts the committed manifest
+        # doesn't know (zombie speculative renames after the post-job
+        # sweep) BEFORE any scan binds to the directory listing
+        from ds_discovery_opensearch_taxonomy_spark.operators.index_build import (
+            reconcile_from_manifest,
+        )
+
+        reconcile_from_manifest(self.cat)
         stats = spark.read.parquet(self.cat.path(IndexCatalog.DOC_STATS)).collect()
         self.n_docs = int(stats[0]["n_docs"]) if stats else 0
         self.avgdl = {r["field"]: float(r["avgdl"]) for r in stats}

@@ -179,6 +179,7 @@ class IndexCatalog:
         gen_updates: dict[str, int],
         stats_base: dict | None = None,
         compacted_salts: int | None = None,
+        postings_attempts: dict | None = None,
     ) -> None:
         """ONE atomic manifest write: bump table generations to the
         compacted dirs, drop the delta list, AND roll the compacted
@@ -207,6 +208,12 @@ class IndexCatalog:
         if compacted_salts is not None:
             meta["compacted_salts"] = int(compacted_salts)
             meta["next_delta_seq"] = 0
+        if postings_attempts is not None:
+            # the committed-attempt map of the NEW postings generation must
+            # flip in the SAME write as the generation pointer — written
+            # separately, a crash between the two would re-prune the still-
+            # live old generation against the new map (data loss)
+            meta["postings_attempts"] = postings_attempts
         self._write_manifest(m)
 
     #: replay-detection window for compacted batch keys (FIFO)

@@ -639,3 +639,60 @@ def F_col_mod3(df):
     from pyspark.sql import functions as F
 
     return F.pmod(F.col("doc_id"), F.lit(3))
+
+
+def test_reader_open_prunes_zombie_attempt_files(spark, tmp_path_factory):
+    """Cluster-speculation defense-in-depth: the build persists the
+    committed (pid -> attempt) maps for both direct-write tables, and
+    IndexReader open re-prunes any file those maps don't know — a zombie
+    speculative attempt can os.rename its output AFTER the post-job sweep,
+    and an unpruned duplicate would silently double posting blocks at
+    decode.  Compaction must flip the map with the generation pointer."""
+    from pathlib import Path
+
+    out = tmp_path_factory.mktemp("zombie")
+    base = with_doc_ids(synthesize_corpus(spark, 120))
+    build_index(spark, base, str(out / "idx"), TEST_CONFIG)
+    eng = TaxonomyEngine(spark, str(out / "idx"), TEST_CONFIG)
+    cat = eng.reader.cat
+    # the maps were persisted at build
+    post_atts = cat.get_meta("postings_attempts")
+    stg_atts = (
+        cat.manifest()["stages"]["staging"]["metrics"].get("attempts")
+    )
+    assert post_atts and stg_atts
+    before = run_categories(spark, eng.reader, QUERIES[:2], scored=True).collect()
+    # plant zombies: same pid as a committed file, different attempt
+    bdirs = sorted(Path(cat.path("postings")).glob("bucket=*"))
+    victim = next(f for d in bdirs for f in sorted(d.glob("part-*.parquet")))
+    pid = victim.stem.split("-")[1]
+    zombie_post = victim.parent / f"part-{pid}-999.parquet"
+    zombie_post.write_bytes(victim.read_bytes())
+    stg_file = next(Path(cat.path("staging")).glob("part-*.parquet"))
+    zombie_stg = stg_file.parent / f"part-{stg_file.stem.split('-')[1]}-999.parquet"
+    zombie_stg.write_bytes(stg_file.read_bytes())
+    # reader open prunes both and results are unchanged
+    eng.refresh()
+    assert not zombie_post.exists()
+    assert not zombie_stg.exists()
+    after = run_categories(spark, eng.reader, QUERIES[:2], scored=True).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    # compaction: the new generation's map commits with the gen pointer
+    eng.append_docs(
+        with_doc_ids(synthesize_corpus(spark, 130)).join(
+            eng.reader.docs().select("doc_id"), "doc_id", "left_anti"
+        ),
+        "zb-1",
+    )
+    eng.compact()
+    cat2 = eng.reader.cat
+    atts2 = cat2.get_meta("postings_attempts")
+    assert atts2 is not None
+    gen_dir = Path(cat2.path("postings"))
+    assert "__g" in gen_dir.name
+    pids_on_disk = {
+        int(f.stem.split("-")[1])
+        for d in gen_dir.glob("bucket=*")
+        for f in d.glob("part-*.parquet")
+    }
+    assert pids_on_disk == {int(k) for k in atts2}

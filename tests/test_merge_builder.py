@@ -375,3 +375,36 @@ def test_direct_staging_writer_retry_and_stats(tmp_path):
     IB._reconcile_dir(Path(out))
     names = sorted(f.name for f in (tmp_path / "staging").glob("*"))
     assert names == ["part-00000-0.parquet"]
+
+
+def test_reconcile_with_expected_keeps_committed_attempt(tmp_path):
+    """Speculation safety: with the (pid -> succeeded attempt) map from the
+    stat rows, reconciliation keeps EXACTLY the committed attempt — even
+    when a killed speculative copy left a file with a HIGHER attempt id
+    (keep-newest would pick the wrong one) — and drops files from pids
+    that reported no stats at all."""
+    bdir = tmp_path / "bucket=0"
+    bdir.mkdir(parents=True)
+    (bdir / "part-00002-4.parquet").write_bytes(b"committed")
+    (bdir / "part-00002-11.parquet").write_bytes(b"zombie-speculative")
+    (bdir / "part-00005-3.parquet").write_bytes(b"no-stats-pid")
+    (bdir / "part-00007-9.parquet").write_bytes(b"ok")
+    (bdir / "part-00007-1.parquet.inprogress").write_bytes(b"dead")
+    IB._reconcile_direct_write(str(tmp_path), {2: 4, 7: 9})
+    names = sorted(f.name for f in bdir.glob("*"))
+    assert names == ["part-00002-4.parquet", "part-00007-9.parquet"]
+
+
+def test_direct_writer_stats_carry_attempt_id(tmp_path):
+    """Both direct writers report the attempt id that wrote the files, and
+    attempts_map() turns the stat rows into the manifest map."""
+    out = str(tmp_path / "postings")
+    builder = lambda _b: iter([_blocks_batch([0, 1], [5, 6])])  # noqa: E731
+    stats = list(IB.make_direct_block_writer(builder, out, n_buckets=2)([]))
+    s = stats[0].to_pydict()
+    assert set(s["att"]) == {0}  # no TaskContext -> attempt 0
+    rows = [
+        {"pid": p, "att": a} for p, a in zip(s["pid"], s["att"])
+    ]
+    assert IB.attempts_map(rows) == {"0": 0}
+    assert IB._int_keys(IB.attempts_map(rows)) == {0: 0}

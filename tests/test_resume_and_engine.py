@@ -115,6 +115,23 @@ def test_single_doc_matches_batch_path(spark, engine, corpus):
             assert abs(got[cid] - s) < 1e-9
 
 
+def test_categorise_docs_warns_on_bulk_misuse(engine):
+    """The doc-at-a-time API is a driver-side loop by design (reference
+    CategoriseSingle); feeding it a bulk list must warn and redirect to the
+    distributed paths rather than silently crawl."""
+    import warnings
+
+    rows = [{"doc_id": i, "content": "air force"} for i in range(1001)]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        engine.categorise_docs(rows, scored=False, subset=["C10002"])
+    assert any("driver-side Python loop" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        engine.categorise_docs(rows[:5], scored=False, subset=["C10002"])
+    assert not w
+
+
 def test_search_pagination_and_count(spark, engine):
     q = '"ration" OR "rations" OR "rationing"'
     total = engine.count(q)

@@ -1371,20 +1371,36 @@ def _reconcile_dir(bdir, expected: dict[int, int] | None = None) -> None:
         f.unlink(missing_ok=True)
     by_pid: dict[int, list] = {}
     for f in bdir.glob("part-*.parquet"):
-        parts = f.stem.split("-")
-        if len(parts) >= 3:
-            by_pid.setdefault(int(parts[1]), []).append(f)
+        key = _direct_file_key(f)
+        if key is not None:
+            by_pid.setdefault(key[0], []).append((key[1], f))
     if expected is not None:
         for pid, files in by_pid.items():
             keep = expected.get(pid)
-            for f in files:
-                if keep is None or int(f.stem.split("-")[2]) != keep:
+            for att, f in files:
+                if keep is None or att != keep:
                     f.unlink(missing_ok=True)
         return
     for files in by_pid.values():
         if len(files) > 1:
-            for f in sorted(files, key=lambda p: int(p.stem.split("-")[2]))[:-1]:
+            for _, f in sorted(files)[:-1]:
                 f.unlink(missing_ok=True)
+
+
+def _direct_file_key(f) -> tuple[int, int] | None:
+    """(pid, attempt) from a DIRECT-writer file name, or None for any
+    other file.  Direct writers name exactly ``part-<pid>-<attempt>
+    .parquet``; anything else (a JVM-committer ``part-00000-<uuid>-c000
+    .snappy.parquet``, a driver-side ``part-00000.parquet``) is not ours
+    to reconcile — parsing it as ours would either crash reader open
+    (ValueError on the uuid) or delete live data ("unknown attempt")."""
+    parts = f.stem.split("-")
+    if len(parts) != 3:
+        return None
+    try:
+        return int(parts[1]), int(parts[2])
+    except ValueError:
+        return None
 
 
 def _reconcile_direct_write(

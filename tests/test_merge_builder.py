@@ -395,6 +395,29 @@ def test_reconcile_with_expected_keeps_committed_attempt(tmp_path):
     assert names == ["part-00002-4.parquet", "part-00007-9.parquet"]
 
 
+def test_reconcile_ignores_non_direct_writer_files(tmp_path):
+    """Files the direct writer did not name (a JVM-committer part file
+    with a uuid, a driver-side ``part-00000.parquet``) are left alone by
+    BOTH reconciliation modes — parsing them as ours would crash reader
+    open (ValueError on the uuid) or delete live data as an "unknown
+    attempt"."""
+    bdir = tmp_path / "bucket=1"
+    bdir.mkdir(parents=True)
+    jvm = "part-00000-0eb2a631-7a54-4a02-bd59-5efbe951cd6a-c000.snappy.parquet"
+    (bdir / jvm).write_bytes(b"jvm-committed")
+    (bdir / "part-00000.parquet").write_bytes(b"driver-written")
+    (bdir / "part-00003-2.parquet").write_bytes(b"ours-committed")
+    (bdir / "part-00003-7.parquet").write_bytes(b"ours-zombie")
+    IB._reconcile_direct_write(str(tmp_path), {3: 2})
+    names = sorted(f.name for f in bdir.glob("*"))
+    assert names == [jvm, "part-00000.parquet", "part-00003-2.parquet"]
+    # keep-newest fallback mode: same non-ours files still untouched
+    (bdir / "part-00003-9.parquet").write_bytes(b"retry")
+    IB._reconcile_direct_write(str(tmp_path))
+    names = sorted(f.name for f in bdir.glob("*"))
+    assert names == [jvm, "part-00000.parquet", "part-00003-9.parquet"]
+
+
 def test_direct_writer_stats_carry_attempt_id(tmp_path):
     """Both direct writers report the attempt id that wrote the files, and
     attempts_map() turns the stat rows into the manifest map."""

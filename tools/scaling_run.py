@@ -67,13 +67,29 @@ def calibrate() -> dict:
         out[str(n)] = round(n / (time.time() - t0), 2)
     out["ceiling_4_to_16"] = round(out["16"] / out["4"] / 4.0, 3)
     out["ceiling_8_to_32"] = round(out["32"] / out["8"] / 4.0, 3)
+    for n in (4, 16):
+        out[f"membw_{n}_gbps"] = _membw(n)
+    out["membw_ceiling_4_to_16"] = round(
+        out["membw_16_gbps"] / out["membw_4_gbps"] / 4.0, 3
+    )
     return out
 
 
-def pair_ceiling() -> float:
-    """Quick 4-vs-16 pure-CPU ceiling, run alongside each measurement
+def pair_ceiling() -> dict:
+    """Quick 4-vs-16 hardware ceilings, run alongside each measurement
     pair: tenancy on this host swings tens of percent over minutes, so a
-    single start-of-run calibration cannot qualify individual pairs."""
+    single start-of-run calibration cannot qualify individual pairs.
+
+    TWO axes, because they fail independently (measured 2026-08-19: a
+    window with a 0.98 pure-CPU ceiling had DRAM saturating at ~4 workers
+    — aggregate memcpy 54.7 GB/s @4 procs vs 43.3 @16, a 0.20 bandwidth
+    ceiling — and the build's bandwidth-bound stages ran 3x slower at 16c
+    while CPU-bound stages were unaffected):
+
+    * ``cpu``  — pure-Python int loop (registers/L1; no memory traffic);
+    * ``membw`` — aggregate preallocated-buffer memcpy GB/s, the ceiling
+      the tokenize feed and postings shuffle/merge actually live under.
+    """
     import multiprocessing as mp
     import time
 
@@ -83,7 +99,13 @@ def pair_ceiling() -> float:
         with mp.Pool(n) as p:
             p.map(_burn, range(n))
         rates[n] = n / (time.time() - t0)
-    return round(rates[16] / rates[4] / 4.0, 3)
+    bw4, bw16 = _membw(4), _membw(16)
+    return {
+        "cpu": round(rates[16] / rates[4] / 4.0, 3),
+        "membw": round(bw16 / bw4 / 4.0, 3),
+        "membw_4_gbps": bw4,
+        "membw_16_gbps": bw16,
+    }
 
 
 def _burn(_):
@@ -91,6 +113,38 @@ def _burn(_):
     for i in range(60_000_000):
         s += i
     return s
+
+
+def _membw(procs: int) -> float:
+    """Aggregate memcpy GB/s over ``procs`` workers (preallocated 64 MB
+    src/dst per worker, ~1.5 s of copies — no page faults in the timed
+    loop, so it reads the DRAM subsystem, not the allocator).  Best of
+    two pools: the first measurement after other load routinely
+    under-reads (cold scheduler/frequency state — observed 0.3 GB/s
+    immediately after a CPU-burn pool vs ~45 settled)."""
+    import multiprocessing as mp
+
+    best = 0.0
+    for _ in range(2):
+        with mp.Pool(procs) as p:
+            best = max(best, sum(p.map(_copy_rate, range(procs))))
+    return round(best, 1)
+
+
+def _copy_rate(_):
+    import time
+
+    import numpy as np
+
+    a = np.empty(1 << 26, dtype=np.uint8)
+    a[:] = 1
+    b = np.empty(1 << 26, dtype=np.uint8)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 1.5:
+        np.copyto(b, a)
+        n += 1
+    return 2 * n * len(a) / (time.time() - t0) / 1e9
 
 
 def main() -> int:
@@ -132,7 +186,13 @@ def main() -> int:
                     / 4.0,
                     3,
                 ),
-                "pair_ceiling": ceil,
+                # pure-CPU axis (back-compat key) + the DRAM axis the
+                # build's tokenize/merge stages actually live under
+                "pair_ceiling": ceil["cpu"],
+                "pair_membw_ceiling": ceil["membw"],
+                "pair_membw_gbps": [
+                    ceil["membw_4_gbps"], ceil["membw_16_gbps"],
+                ],
                 "load_at_start": round(load0, 2),
             }
         )
@@ -143,10 +203,16 @@ def main() -> int:
     report["pair_eff_build_median"] = statistics.median(
         p["pair_eff_build"] for p in pairs
     )
-    best = max(pairs, key=lambda p: p["pair_ceiling"])
+    # "best" window = highest on its WEAKER axis: a 0.98-CPU pair over a
+    # saturated DRAM bus is not a clean pair (see pair_ceiling docstring)
+    best = max(
+        pairs,
+        key=lambda p: min(p["pair_ceiling"], p["pair_membw_ceiling"]),
+    )
     report["pair_eff_build_at_best_ceiling"] = {
         "eff": best["pair_eff_build"],
         "ceiling": best["pair_ceiling"],
+        "membw_ceiling": best["pair_membw_ceiling"],
         "t4": best["t4_build"],
         "t16": best["t16_build"],
     }

@@ -512,6 +512,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, eng.reader, [("q", '"merge" AND "filter"')], scored=True
         ).select("doc_id", F.round("score", 4).alias("score"))
 
+    def q_results_upsert(spark, sf):  # S7/S8: bucketed results-sink upsert
+        """Results sink (S7/S8): two OVERLAPPING batches saved through the
+        doc_id-hash-bucketed upsert (engine.save_results) — batch 1 writes
+        one category set for doc_id % 3 == 0, batch 2 overwrites
+        doc_id % 2 == 0 with different sets.  The final table must show
+        last-writer-wins per doc_id (the reference's bulk doc-as-upsert,
+        OpenSearchIAViewUpdateRepository.cs:49-70); docs in batch 1 only
+        keep their batch-1 sets.  Replaying the probe converges: the same
+        two saves always land on the same final content (snapshot numbers
+        advance, bucket contents don't)."""
+        eng = _engine(spark, sf)
+        docs = _docs(spark, sf).select("doc_id")
+        b1 = docs.where(F.col("doc_id") % 3 == 0).select(
+            "doc_id", F.array(F.lit("A")).alias("category_ids")
+        )
+        b2 = docs.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 4 == 0, F.array(F.lit("B"), F.lit("C")))
+            .otherwise(F.array(F.lit("B")))
+            .alias("category_ids"),
+        )
+        eng.save_results(b1)
+        eng.save_results(b2)
+        return eng.results().select(
+            "doc_id", F.array_join("category_ids", ",").alias("cats")
+        )
+
     return {
         "q_match_bool": q_match_bool,
         "q_match_or": q_match_or,
@@ -557,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_categorise_all": q_categorise_all,
         "q_incremental_index": q_incremental_index,
         "q_compacted_index": q_compacted_index,
+        "q_results_upsert": q_results_upsert,
     }
 
 
@@ -723,6 +751,21 @@ WITH d2 AS (
             "WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge') "
             "  AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'filter')",
         ),
+        "q_results_upsert": """
+            -- last-writer-wins per doc_id across the two saved batches
+            WITH b1 AS (
+              SELECT doc_id, 'A' AS cats FROM documents WHERE doc_id % 3 = 0
+            ),
+            b2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0 THEN 'B,C' ELSE 'B' END AS cats
+              FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT doc_id, cats FROM b2
+            UNION ALL
+            SELECT doc_id, cats FROM b1
+            WHERE doc_id NOT IN (SELECT doc_id FROM b2)
+        """,
         "q_count": f"""
             SELECT count(*) AS match_count FROM documents
             WHERE list_contains({tok}, 'merge') OR list_contains({tok}, 'join')

@@ -539,6 +539,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.array_join("category_ids", ",").alias("cats")
         )
 
+    def q_categorise_from_store(spark, sf):  # A3 + persisted category CRUD
+        """Categorise-all driven from the PERSISTED category dimension:
+        seed three categories into the index's category store, mutate one
+        through the CRUD API, verify the reference's Lock semantics refuse
+        an edit to a locked row (MongoCategoryRepository.cs:113-185), then
+        categorise every doc from a FRESH engine that loads the store from
+        disk — the category set survives engine restarts, and the result
+        reflects the post-update queries.  Replays converge (seed
+        overwrites; the same mutations land the same final store)."""
+        from ds_discovery_opensearch_taxonomy_spark.sources.categories import (
+            CategoryLockedError,
+        )
+
+        base = _engine(spark, sf)
+        root = str(base.reader.cat.root)
+        store = TaxonomyEngine(spark, root, DOCS_CONFIG).category_store
+        store.seed(
+            [
+                {"category_id": "P1", "title": "Tables",
+                 "query_text": '"table" AND "window"'},
+                {"category_id": "P2", "title": "Vectors",
+                 "query_text": '"vector"', "locked": True},
+                {"category_id": "P3", "title": "Queries",
+                 "query_text": "quer*"},
+            ],
+            overwrite=True,
+        )
+        store.save(  # unlocked row: update applies (and the query below sees it)
+            {"category_id": "P3", "title": "Queries",
+             "query_text": 'quer* OR "stream"'}
+        )
+        try:  # locked row: title/query edits refused while locked
+            store.save(
+                {"category_id": "P2", "title": "Vectors",
+                 "query_text": '"merge"', "locked": True}
+            )
+            raise AssertionError("locked category update must be refused")
+        except CategoryLockedError:
+            pass
+        fresh = TaxonomyEngine(spark, root, DOCS_CONFIG)  # loads store from disk
+        return fresh.categorise_all().select(
+            "doc_id", F.array_join("category_ids", ",").alias("cats")
+        )
+
     return {
         "q_match_bool": q_match_bool,
         "q_match_or": q_match_or,
@@ -585,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_index": q_incremental_index,
         "q_compacted_index": q_compacted_index,
         "q_results_upsert": q_results_upsert,
+        "q_categorise_from_store": q_categorise_from_store,
     }
 
 
@@ -765,6 +810,19 @@ WITH d2 AS (
             UNION ALL
             SELECT doc_id, cats FROM b1
             WHERE doc_id NOT IN (SELECT doc_id FROM b2)
+        """,
+        "q_categorise_from_store": f"""
+            -- final persisted set: P1 '"table" AND "window"', P2 '"vector"'
+            -- (locked; edit refused), P3 'quer* OR "stream"' (updated)
+            SELECT doc_id,
+              concat_ws(',',
+                CASE WHEN list_contains({tok}, 'table')
+                      AND list_contains({tok}, 'window') THEN 'P1' END,
+                CASE WHEN list_contains({tok}, 'vector') THEN 'P2' END,
+                CASE WHEN len(list_filter({tok}, t -> t LIKE 'quer%')) > 0
+                      OR list_contains({tok}, 'stream') THEN 'P3' END
+              ) AS cats
+            FROM documents
         """,
         "q_count": f"""
             SELECT count(*) AS match_count FROM documents

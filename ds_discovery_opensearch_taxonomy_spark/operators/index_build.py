@@ -1610,7 +1610,7 @@ def _merge_partitions(
 
 def _build_postings_single_job(
     spark: SparkSession, cat: IndexCatalog, config: EngineConfig, builder,
-    ord_bits: int,
+    ord_bits: int, dict_ready=None,
 ) -> None:
     """All buckets in ONE Spark job: packed-run scan -> heavy-term salt
     split -> one wide (term_id, salt) shuffle of packed RUNS -> per-
@@ -1621,8 +1621,13 @@ def _build_postings_single_job(
     staged_all = spark.read.parquet(cat.path(IndexCatalog.STAGING)).where(
         F.col("kind") == 0
     )
+    # heavy-term salt map from STAGING, not the dictionary table: df is
+    # sum(n) per term_id in both (the dictionary aggregates this same
+    # column), and deriving it here lets the dictionary stage's Spark
+    # action overlap this whole job (see build_index).  One narrow
+    # numeric agg over (term_id, n) — term strings pruned at the scan.
     heavy = _heavy_salt_map(
-        cat.read(spark, IndexCatalog.DICTIONARY), config
+        staged_all.groupBy("term_id").agg(F.sum("n").alias("df")), config
     )
     salted = _salt_packed_runs(staged_all, heavy, ord_bits)
     n_parts = _merge_partitions(spark, cat, config)
@@ -1658,6 +1663,11 @@ def _build_postings_single_job(
     for r in stats:
         blocks_by_bucket[int(r["bucket"])] += int(r["blocks"])
         postings_by_bucket[int(r["bucket"])] += int(r["postings"])
+    if dict_ready is not None:
+        # join + commit the overlapped dictionary stage before reading its
+        # terms_per_bucket metrics (it finishes long before the merge; a
+        # dictionary failure aborts here, before any bucket commits)
+        dict_ready()
     terms_per_bucket = (
         cat.manifest()["stages"]
         .get("dictionary", {})
@@ -1914,94 +1924,168 @@ def build_index(
             },
         }
 
-    # docmap and dictionary both read only committed staging; their Spark
-    # actions run concurrently (one small-job floor saved per build)
-    _run_stages_concurrently(
-        cat, [("docmap", _docmap_action), ("dictionary", _dictionary_action)]
-    )
+    # docmap AND dictionary Spark ACTIONS both overlap the postings stage
+    # below: both read only committed staging (+docs), and the postings
+    # job's only two dictionary inputs are (a) the heavy-term salt map —
+    # recomputed equivalently from staging (df == sum(n) per term_id, the
+    # exact expression the dictionary aggregates) by the single-job path —
+    # and (b) terms_per_bucket, which is commit-metric-only and is joined
+    # via `dict_ready` right before the per-bucket commits (the ~11 s
+    # dictionary wall at 16c otherwise serializes before the merge).
+    # COMMITS stay on this thread (manifest read-modify-write is not
+    # thread-safe): dictionary commits inside dict_ready(), docmap after
+    # the postings stage; a crash mid-postings re-runs them on resume.
+    # Trade-off: a term_id-collision error from the dictionary stage now
+    # surfaces only at dict_ready() — after merge work has run — but the
+    # build still fails loudly before any bucket commits.
+    bg_pool = None
+    docmap_fut = None
+    dict_fut = None
+    bg_todo = [
+        ("docmap", _docmap_action),
+        ("dictionary", _dictionary_action),
+    ]
+    bg_todo = [(n, a) for n, a in bg_todo if not cat.stage_done(n)]
+    if bg_todo:
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor as _TPE
 
-    # -- stage 5: per-bucket postings build (resumable loop) ----------------
-    # one Spark job per bucket; metrics come from Observation (no read-back)
-    avgdl_ord = np.array([avgdl.get(fn, 1.0) for fn in field_names], dtype=np.float64)
-    ord_bits = ord_bits_of(n_docs)
-    done = cat.committed_buckets()
-    todo = [b for b in range(config.n_term_buckets) if b not in done]
-    builder = make_merge_builder(
-        float(n_docs), avgdl_ord, config.k1, config.b,
-        config.block_size, ord_shift,
-    )
-    if todo and not config.bucket_resume:
-        _build_postings_single_job(spark, cat, config, builder, ord_bits)
-        todo = []
-    if todo:
-        import threading
-        from concurrent.futures import ThreadPoolExecutor
+        def _timed_stage(action):
+            def run():
+                t0 = _time.time()
+                m = action() or {}
+                m.setdefault("elapsed_sec", round(_time.time() - t0, 3))
+                m["overlapped_postings"] = True
+                return m
 
-        staged_all = spark.read.parquet(cat.path(IndexCatalog.STAGING)).where(
-            F.col("kind") == 0
+            return run
+
+        bg_pool = _TPE(max_workers=len(bg_todo), thread_name_prefix="bgstage")
+        futs = {n: bg_pool.submit(_timed_stage(a)) for n, a in bg_todo}
+        docmap_fut = futs.get("docmap")
+        dict_fut = futs.get("dictionary")
+
+    def dict_ready() -> None:
+        """Join + commit the overlapped dictionary stage (main thread only);
+        no-op once committed.  Postings code calls this before anything
+        that reads the dictionary table or its terms_per_bucket metrics."""
+        nonlocal dict_fut
+        if dict_fut is not None:
+            fut, dict_fut = dict_fut, None
+            cat.commit_stage("dictionary", fut.result() or {})
+
+    postings_err = None
+    try:
+        # -- stage 5: per-bucket postings build (resumable loop) ----------------
+        # one Spark job per bucket; metrics come from Observation (no read-back)
+        avgdl_ord = np.array([avgdl.get(fn, 1.0) for fn in field_names], dtype=np.float64)
+        ord_bits = ord_bits_of(n_docs)
+        done = cat.committed_buckets()
+        todo = [b for b in range(config.n_term_buckets) if b not in done]
+        builder = make_merge_builder(
+            float(n_docs), avgdl_ord, config.k1, config.b,
+            config.block_size, ord_shift,
         )
-        dict_all = cat.read(spark, IndexCatalog.DICTIONARY)
-        terms_per_bucket = {
-            int(r["bucket"]): int(r["n"])
-            for r in dict_all.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-        }
-        manifest_lock = threading.Lock()
+        if todo and not config.bucket_resume:
+            _build_postings_single_job(
+                spark, cat, config, builder, ord_bits, dict_ready=dict_ready
+            )
+            todo = []
+        if todo:
+            import threading
+            from concurrent.futures import ThreadPoolExecutor
 
-        def do_bucket(bucket: int) -> None:
-            # ALL-NUMERIC from here on: parquet column pruning drops the
-            # term string column of staging; the field ordinal rides
-            # staging and only the bounded heavy-term salt map is applied
-            staged_b = staged_all.where(F.col("bucket") == bucket)
-            n_terms = terms_per_bucket.get(bucket, 0)
-            heavy_b = _heavy_salt_map(
-                dict_all.where(F.col("bucket") == bucket), config
+            # the per-bucket loop reads the dictionary TABLE (per-bucket
+            # heavy maps) — join the overlapped stage before starting
+            dict_ready()
+
+            staged_all = spark.read.parquet(cat.path(IndexCatalog.STAGING)).where(
+                F.col("kind") == 0
             )
-            salted = _salt_packed_runs(staged_b, heavy_b, ord_bits)
-            # enough tasks per job that concurrent bucket jobs can fill
-            # freed slots (finer granularity costs little; too-coarse tasks
-            # leave cores idle during each job's tail); data-scaled so
-            # per-task memory stays bounded at any corpus size
-            n_parts = max(
-                spark.sparkContext.defaultParallelism, 8,
-                _merge_partitions(
-                    spark, cat, config, frac=1.0 / config.n_term_buckets
-                ),
-            )
-            blocks = (
-                salted.repartition(n_parts, "term_id", "salt")
-                .mapInArrow(builder, BLOCKS_SCHEMA)
-            )
-            obs = Observation(f"bucket_{bucket}")
-            blocks = blocks.observe(
-                obs, F.count(F.lit(1)).alias("blocks"), F.sum("n").alias("postings")
-            )
-            cat.write(blocks, IndexCatalog.POSTINGS, bucket=bucket)
-            m = obs.get
-            with manifest_lock:
-                cat.commit_bucket(
-                    bucket,
-                    {
-                        "blocks": int(m["blocks"]),
-                        "postings": int(m["postings"]),
-                        "terms": int(n_terms),
-                        "bytes": cat.table_bytes(
-                            f"{IndexCatalog.POSTINGS}/bucket={bucket}"
-                        ),
-                    },
+            dict_all = cat.read(spark, IndexCatalog.DICTIONARY)
+            terms_per_bucket = {
+                int(r["bucket"]): int(r["n"])
+                for r in dict_all.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+            }
+            manifest_lock = threading.Lock()
+
+            def do_bucket(bucket: int) -> None:
+                # ALL-NUMERIC from here on: parquet column pruning drops the
+                # term string column of staging; the field ordinal rides
+                # staging and only the bounded heavy-term salt map is applied
+                staged_b = staged_all.where(F.col("bucket") == bucket)
+                n_terms = terms_per_bucket.get(bucket, 0)
+                heavy_b = _heavy_salt_map(
+                    dict_all.where(F.col("bucket") == bucket), config
                 )
+                salted = _salt_packed_runs(staged_b, heavy_b, ord_bits)
+                # enough tasks per job that concurrent bucket jobs can fill
+                # freed slots (finer granularity costs little; too-coarse tasks
+                # leave cores idle during each job's tail); data-scaled so
+                # per-task memory stays bounded at any corpus size
+                n_parts = max(
+                    spark.sparkContext.defaultParallelism, 8,
+                    _merge_partitions(
+                        spark, cat, config, frac=1.0 / config.n_term_buckets
+                    ),
+                )
+                blocks = (
+                    salted.repartition(n_parts, "term_id", "salt")
+                    .mapInArrow(builder, BLOCKS_SCHEMA)
+                )
+                obs = Observation(f"bucket_{bucket}")
+                blocks = blocks.observe(
+                    obs, F.count(F.lit(1)).alias("blocks"), F.sum("n").alias("postings")
+                )
+                cat.write(blocks, IndexCatalog.POSTINGS, bucket=bucket)
+                m = obs.get
+                with manifest_lock:
+                    cat.commit_bucket(
+                        bucket,
+                        {
+                            "blocks": int(m["blocks"]),
+                            "postings": int(m["postings"]),
+                            "terms": int(n_terms),
+                            "bytes": cat.table_bytes(
+                                f"{IndexCatalog.POSTINGS}/bucket={bucket}"
+                            ),
+                        },
+                    )
 
-        # concurrent bucket jobs (the reference runs 5 categorisation
-        # batches concurrently, FullReindexCategoriser.cs:87-213) — Spark's
-        # scheduler interleaves them, hiding each job's serial phases;
-        # commits stay per-bucket, so kill/resume granularity is unchanged
-        workers = min(config.build_parallelism, len(todo))
-        if workers <= 1:
-            for bkt in todo:
-                do_bucket(bkt)
-        else:
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                futures = [ex.submit(do_bucket, bkt) for bkt in todo]
-                for f in futures:
-                    f.result()
+            # concurrent bucket jobs (the reference runs 5 categorisation
+            # batches concurrently, FullReindexCategoriser.cs:87-213) — Spark's
+            # scheduler interleaves them, hiding each job's serial phases;
+            # commits stay per-bucket, so kill/resume granularity is unchanged
+            workers = min(config.build_parallelism, len(todo))
+            if workers <= 1:
+                for bkt in todo:
+                    do_bucket(bkt)
+            else:
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    futures = [ex.submit(do_bucket, bkt) for bkt in todo]
+                    for f in futures:
+                        f.result()
+    except Exception as e:
+        postings_err = e
+    # join + commit any still-overlapped background stages (dictionary is
+    # normally already joined via dict_ready inside the postings stage; it
+    # is still pending here when postings was fully resumed-from-manifest
+    # or failed early).  The postings error, if any, is the primary
+    # failure; background-stage errors surface otherwise.
+    bg_err = None
+    for _name, _fut in (("dictionary", dict_fut), ("docmap", docmap_fut)):
+        if _fut is None:
+            continue
+        try:
+            cat.commit_stage(_name, _fut.result() or {})
+        except Exception as e:
+            if bg_err is None:
+                bg_err = e
+    if bg_pool is not None:
+        bg_pool.shutdown(wait=False)
+    if postings_err is not None:
+        raise postings_err
+    if bg_err is not None:
+        raise bg_err
     cat.commit_stage("complete")
     return cat

@@ -480,6 +480,8 @@ def tokenize_corpus(
     offsets: list[int],
     expected: list[int] | None = None,
     direct_out: str | None = None,
+    docs_out: str | None = None,
+    docs_cols: list[str] | None = None,
 ) -> DataFrame:
     """corpus -> PACKED TOKENS_SCHEMA rows: one posting RUN per (term,
     input split) plus one doc-length sidecar row per (split, field) — the
@@ -560,11 +562,20 @@ def tokenize_corpus(
 
     if direct_out is not None:
         # staging build path: tasks parquet-encode their own packed runs
-        # (+ bucket column) and return only per-field cf-sum stat rows
+        # (+ bucket column) and return only per-field cf-sum stat rows.
+        # With docs_out the same scan ALSO writes the DOCS table (tee on
+        # the input batches) — one corpus read instead of two.
+        inner = run
+        in_cols = list(src_cols)
+        if docs_out is not None:
+            cols = docs_cols or []
+            in_cols += [c for c in cols if c not in src_cols]
+            tee = make_docs_tee(docs_out, cols, offsets)
+            inner = lambda batches: run(tee(batches))  # noqa: E731
         writer = make_direct_staging_writer(
-            run, direct_out, config.n_term_buckets
+            inner, direct_out, config.n_term_buckets
         )
-        return corpus.select(*src_cols).mapInArrow(
+        return corpus.select(*in_cols).mapInArrow(
             writer, STAGING_STATS_SCHEMA
         )
     return corpus.select(*src_cols).mapInArrow(run, TOKENS_SCHEMA)
@@ -1448,6 +1459,10 @@ def reconcile_from_manifest(cat) -> None:
         from pathlib import Path
 
         _reconcile_dir(Path(cat.path("staging")), stg)
+        # the docs table is written by the same tasks (docs tee) under the
+        # same attempt map; for older JVM-written docs tables this is a
+        # no-op (_direct_file_key rejects committer file names)
+        _reconcile_dir(Path(cat.path("docs")), stg)
 
 
 #: direct staging-write stats: per-(task, field) cf sums over kind-0 rows
@@ -1484,6 +1499,77 @@ def _arrow_staging_schema():
             ("bucket", pa.int32()),
         ]
     )
+
+
+def make_docs_tee(
+    docs_out: str, docs_cols: list[str], offsets: list[int]
+):
+    """Wrap the tokenize pass's INPUT batch stream so the same task also
+    writes its slice of the DOCS table (meta columns + dense ``ord``) —
+    folding what used to be a second full corpus scan (the docs stage
+    re-read and re-decompressed every content row just to ship its sha)
+    into the one tokenize scan.  doc_id/content_sha are computed JVM-side
+    in the scan (with_doc_ids) and ride the Arrow feed as narrow columns.
+
+    Same crash/retry contract as make_direct_staging_writer: attempt-
+    suffixed names, ``.inprogress`` + atomic rename only on clean end of
+    stream (a task failure — including the partition-count drift guard in
+    the tokenizer — leaves only an ignored temp file), predecessor
+    cleanup on retry, `_reconcile_dir` on the driver."""
+
+    def tee(batches):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        att = tc.taskAttemptId() if tc is not None else 0
+        prefix = f"part-{pid:05d}-"
+        os.makedirs(docs_out, exist_ok=True)
+        for fn in os.listdir(docs_out):
+            if fn.startswith(prefix):
+                try:
+                    os.remove(os.path.join(docs_out, fn))
+                except OSError:
+                    pass
+        final = os.path.join(docs_out, f"{prefix}{att}.parquet")
+        tmp = final + ".inprogress"
+        writer = None
+        start = offsets[pid] if pid < len(offsets) else None
+        nxt = start or 0
+        try:
+            for rb in batches:
+                if rb.num_rows:
+                    # drift on an out-of-range pid fails in the tokenizer;
+                    # writing nothing here keeps the temp file unrenamed
+                    names = rb.schema.names
+                    cols = [rb.column(names.index(c)) for c in docs_cols]
+                    ords = pa.array(
+                        np.arange(nxt, nxt + rb.num_rows, dtype=np.int64),
+                        pa.int64(),
+                    )
+                    nxt += rb.num_rows
+                    out = pa.RecordBatch.from_arrays(
+                        cols + [ords], names=docs_cols + ["ord"]
+                    )
+                    if writer is None:
+                        writer = pq.ParquetWriter(
+                            tmp, out.schema, compression="snappy"
+                        )
+                    writer.write_table(pa.Table.from_batches([out]))
+                yield rb
+            if writer is not None:
+                writer.close()
+                writer = None
+                os.rename(tmp, final)
+        finally:
+            if writer is not None:  # unwound mid-stream: no rename
+                writer.close()
+
+    return tee
 
 
 def make_direct_staging_writer(inner, out_dir: str, n_buckets: int):
@@ -1567,16 +1653,23 @@ def make_direct_staging_writer(inner, out_dir: str, n_buckets: int):
                 f"write={t_write:.2f}",
                 flush=True,
             )
-        if sums:
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array([pid] * len(sums), pa.int32()),
-                    pa.array(sorted(sums), pa.int32()),
-                    pa.array([sums[f] for f in sorted(sums)], pa.int64()),
-                    pa.array([att] * len(sums), pa.int64()),
-                ],
-                names=["pid", "ford", "sum_cf", "att"],
-            )
+        if not sums:
+            # ALWAYS report this attempt, even with no kind-0 rows (empty
+            # trailing partition, or all-empty content that still wrote a
+            # docs-tee file): reconciliation deletes files of any pid
+            # absent from the attempts map, so a silent task here would
+            # get its committed docs slice swept.  ford=-1 is ignored by
+            # the sum_dl fold.
+            sums[-1] = 0
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([pid] * len(sums), pa.int32()),
+                pa.array(sorted(sums), pa.int32()),
+                pa.array([sums[f] for f in sorted(sums)], pa.int64()),
+                pa.array([att] * len(sums), pa.int64()),
+            ],
+            names=["pid", "ford", "sum_cf", "att"],
+        )
 
     return run
 
@@ -1735,10 +1828,14 @@ def build_index(
     # both read only the corpus); manifest commits stay on this thread.
     # Saves one small-job floor per build — at 100k docs the docs write is
     # ~3 s of mostly scheduling that otherwise serializes before staging.
+    meta_cols = [
+        c
+        for c in ["doc_id", "repo", "path", "commit", "lang", "content_sha"]
+        + [f for f in config.int_fields if f in corpus_with_ids.columns]
+        if c in corpus_with_ids.columns
+    ]
+
     def _docs_action():
-        meta_cols = ["doc_id", "repo", "path", "commit", "lang", "content_sha"] + [
-            f for f in config.int_fields if f in corpus_with_ids.columns
-        ]
         docs = attach_ords(
             corpus_with_ids.select(
                 *[c for c in meta_cols if c in corpus_with_ids.columns]
@@ -1763,7 +1860,7 @@ def build_index(
     # field lengths, so avgdl needs no second pass over staging at all.
     field_names = [f.name for f in config.fields]
 
-    def _staging_action():
+    def _staging_action(docs_out: str | None = None):
         # UNPARTITIONED direct write with ``bucket`` as an ordinary column:
         # every hot-path consumer (dictionary agg, docmap agg, single-job
         # postings build) full-scans staging, so hive-partitioning by
@@ -1783,9 +1880,13 @@ def build_index(
             corpus_with_ids, config, offsets,
             expected=expected_counts(offsets, n_docs),
             direct_out=stg_dir,
+            docs_out=docs_out,
+            docs_cols=meta_cols if docs_out is not None else None,
         ).collect()
         atts = attempts_map(stats)
         _reconcile_dir(_Path(stg_dir), _int_keys(atts))
+        if docs_out is not None:
+            _reconcile_dir(_Path(docs_out), _int_keys(atts))
         by_ford: dict[int, int] = {}
         for r in stats:
             by_ford[int(r["ford"])] = by_ford.get(int(r["ford"]), 0) + int(
@@ -1798,13 +1899,37 @@ def build_index(
             "attempts": atts,  # reconcile_from_manifest re-prunes from this
         }
 
-    _run_stages_concurrently(
-        cat,
-        [
-            ("docs", lambda: (_docs_action(), {"n_docs": n_docs})[1]),
-            ("staging", _staging_action),
-        ],
-    )
+    if not cat.stage_done("docs") and not cat.stage_done("staging"):
+        # ONE corpus scan for both: tokenize tasks tee the DOCS table out
+        # of the same input batches (make_docs_tee).  The previous shape —
+        # two concurrent full scans — re-read and re-decompressed every
+        # content row a second time just for the docs metadata + sha,
+        # contending for the same DRAM/page-cache bandwidth (both measured
+        # ~40 s at 32c/250k on this host).  sha256/doc_id still compute
+        # JVM-side inside the one scan (with_doc_ids columns ride the
+        # Arrow feed).  Per-partition count guards in the tokenizer keep
+        # the ord-alignment contract; crash anywhere re-runs both stages.
+        import shutil as _shutil
+        import time as _time
+
+        docs_dir = cat.path(IndexCatalog.DOCS)
+        _shutil.rmtree(docs_dir, ignore_errors=True)
+        t0 = _time.time()
+        m = _staging_action(docs_out=docs_dir)
+        m["elapsed_sec"] = round(_time.time() - t0, 3)
+        m["docs_teed"] = True
+        cat.commit_stage("staging", m)
+        cat.commit_stage("docs", {"n_docs": n_docs, "direct": True})
+    else:
+        # resume from an older manifest where exactly one of the two is
+        # committed: run the remaining stage on its own legacy path
+        _run_stages_concurrently(
+            cat,
+            [
+                ("docs", lambda: (_docs_action(), {"n_docs": n_docs})[1]),
+                ("staging", _staging_action),
+            ],
+        )
 
     # -- stage 3: per-field doc stats (N, avgdl) — tiny driver-built table --
     # 4 rows: written directly with pyarrow (a Spark job for this pays the

@@ -327,3 +327,80 @@ def test_streaming_expanders():
     assert _expand_range(vocab, r) == ["ship", "shipment"]
     r2 = TermRangeNode("f", None, "sh", True, True)
     assert _expand_range(vocab, r2) == ["sh"]
+
+
+def _regress_manifest(idx_dir, keep_stages, drop_tables):
+    """Surgically rewind a completed index to a mid-build crash state:
+    keep only ``keep_stages`` in the manifest (plus no buckets), delete
+    ``drop_tables`` dirs.  Models indexes left by pre-docs-tee builds (the
+    two stages committed independently) and a crash between the tee
+    branch's two commit_stage writes."""
+    import shutil
+
+    cat = IndexCatalog(idx_dir)
+    m = cat.manifest()
+    m["stages"] = {k: v for k, v in m["stages"].items() if k in keep_stages}
+    m["buckets"] = {}
+    m.get("meta", {}).pop("postings_attempts", None)
+    cat._write_manifest(m)
+    for t in drop_tables:
+        shutil.rmtree(cat.path(t), ignore_errors=True)
+    return cat
+
+
+def _assert_same_postings(spark, ref_dir, got_dir):
+    ref = spark.read.parquet(str(ref_dir / "postings")).drop("bucket")
+    got = spark.read.parquet(str(got_dir / "postings")).drop("bucket")
+    assert ref.count() == got.count()
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_resume_docs_committed_staging_not(spark, corpus, tmp_path):
+    """docs committed / staging not (a pre-tee-code crash between the two
+    concurrent stage commits): resume must take the legacy branch, rebuild
+    staging WITHOUT re-teeing docs, and converge to an identical index."""
+    ref_dir = tmp_path / "ref"
+    build_index(spark, corpus, str(ref_dir), CFG)
+
+    mix_dir = tmp_path / "mix_docs_first"
+    build_index(spark, corpus, str(mix_dir), CFG)
+    cat = _regress_manifest(
+        mix_dir,
+        keep_stages={"ords", "docs"},
+        drop_tables=["staging", "doc_stats", "docmap", "dictionary", "postings"],
+    )
+    import os
+
+    docs_before = sorted(os.listdir(cat.path("docs")))
+    build_index(spark, corpus, str(mix_dir), CFG, resume=True)
+    m = cat.manifest()
+    assert "complete" in m["stages"]
+    # the committed docs table was not rewritten by the resume
+    assert sorted(os.listdir(cat.path("docs"))) == docs_before
+    # the legacy staging rebuild must not have re-teed docs
+    assert not m["stages"]["staging"]["metrics"].get("docs_teed")
+    _assert_same_postings(spark, ref_dir, mix_dir)
+
+
+def test_resume_staging_committed_docs_not(spark, corpus, tmp_path):
+    """staging committed / docs not (a crash between the tee branch's two
+    commit_stage writes): the docs dir holds committed tee files but the
+    stage is uncommitted — resume rebuilds docs via the legacy JVM write
+    (overwrite clears the stale tee files) and converges."""
+    ref_dir = tmp_path / "ref2"
+    build_index(spark, corpus, str(ref_dir), CFG)
+
+    mix_dir = tmp_path / "mix_staging_first"
+    build_index(spark, corpus, str(mix_dir), CFG)
+    cat = _regress_manifest(
+        mix_dir,
+        keep_stages={"ords", "staging"},
+        drop_tables=["doc_stats", "docmap", "dictionary", "postings"],
+    )
+    build_index(spark, corpus, str(mix_dir), CFG, resume=True)
+    assert "complete" in cat.manifest()["stages"]
+    _assert_same_postings(spark, ref_dir, mix_dir)
+    # docs content equal to a fresh build's (ord alignment preserved)
+    ref_docs = spark.read.parquet(str(ref_dir / "docs")).select("ord", "doc_id")
+    got_docs = spark.read.parquet(str(mix_dir / "docs")).select("ord", "doc_id")
+    assert ref_docs.exceptAll(got_docs).count() == 0

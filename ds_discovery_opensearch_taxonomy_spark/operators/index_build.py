@@ -1261,13 +1261,18 @@ def make_direct_block_writer(builder, out_dir: str, n_buckets: int):
         att = tc.taskAttemptId() if tc is not None else 0
         prefix = f"part-{pid:05d}-"
         schema = _arrow_blocks_schema()
-        # retry hygiene: drop anything a previous attempt of THIS
-        # partition left behind (final or in-progress)
+        # retry hygiene: drop .inprogress leftovers of previous attempts
+        # of THIS partition.  Committed finals are deliberately left
+        # alone: attempt-suffixed names never collide, and the post-job
+        # reconcile (attempts map) keeps exactly the succeeded attempt's
+        # file — deleting finals here would let a speculative twin whose
+        # LAUNCH raced the original's success erase a committed file the
+        # stats collect already counted (silent missing slice).
         for b in range(n_buckets):
             bdir = os.path.join(out_dir, f"bucket={b}")
             if os.path.isdir(bdir):
                 for fn in os.listdir(bdir):
-                    if fn.startswith(prefix):
+                    if fn.startswith(prefix) and fn.endswith(".inprogress"):
                         try:
                             os.remove(os.path.join(bdir, fn))
                         except OSError:
@@ -1515,7 +1520,7 @@ def make_docs_tee(
     suffixed names, ``.inprogress`` + atomic rename only on clean end of
     stream (a task failure — including the partition-count drift guard in
     the tokenizer — leaves only an ignored temp file), predecessor
-    cleanup on retry, `_reconcile_dir` on the driver."""
+    ``.inprogress`` cleanup on retry, `_reconcile_dir` on the driver."""
 
     def tee(batches):
         import os
@@ -1529,8 +1534,10 @@ def make_docs_tee(
         att = tc.taskAttemptId() if tc is not None else 0
         prefix = f"part-{pid:05d}-"
         os.makedirs(docs_out, exist_ok=True)
+        # .inprogress leftovers only — committed finals are reconcile's
+        # to resolve (see make_direct_block_writer's retry-hygiene note)
         for fn in os.listdir(docs_out):
-            if fn.startswith(prefix):
+            if fn.startswith(prefix) and fn.endswith(".inprogress"):
                 try:
                     os.remove(os.path.join(docs_out, fn))
                 except OSError:
@@ -1583,7 +1590,7 @@ def make_direct_staging_writer(inner, out_dir: str, n_buckets: int):
     4->16 efficiency 0.60 for an isolated flat write), and the
     per-bucket Observation sums ran in the same pass.  Crash/retry safety
     is identical: ``.inprogress`` + atomic rename, attempt-suffixed
-    names, predecessor cleanup on retry, `_reconcile_dir` on the driver.
+    names, predecessor .inprogress cleanup on retry, `_reconcile_dir` on the driver.
 
     Each yielded pack (one per (split, field) runs/sentinel group) becomes
     one parquet row group — large groups by construction, no extra
@@ -1601,8 +1608,10 @@ def make_direct_staging_writer(inner, out_dir: str, n_buckets: int):
         att = tc.taskAttemptId() if tc is not None else 0
         prefix = f"part-{pid:05d}-"
         os.makedirs(out_dir, exist_ok=True)
+        # .inprogress leftovers only — committed finals are reconcile's
+        # to resolve (see make_direct_block_writer's retry-hygiene note)
         for fn in os.listdir(out_dir):
-            if fn.startswith(prefix):
+            if fn.startswith(prefix) and fn.endswith(".inprogress"):
                 try:
                     os.remove(os.path.join(out_dir, fn))
                 except OSError:

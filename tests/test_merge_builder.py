@@ -279,20 +279,25 @@ def test_direct_writer_buckets_stats_and_filenames(tmp_path):
         assert t.schema.equals(IB._arrow_blocks_schema())
 
 
-def test_direct_writer_retry_removes_predecessor_files(tmp_path):
-    """A re-run of the same partition id must replace, not duplicate, a
-    previous attempt's output (task retry semantics)."""
+def test_direct_writer_retry_cleans_inprogress_not_finals(tmp_path):
+    """A re-run of the same partition id sweeps predecessor .inprogress
+    temps but NEVER a committed final — deleting finals at task startup
+    would let a speculative twin whose launch raced the original's
+    success erase a file the stats collect already counted.  Duplicate
+    finals are the post-job reconcile's to resolve (attempts map)."""
     out = str(tmp_path / "postings")
     builder = lambda _b: iter([_blocks_batch([0], [5])])  # noqa: E731
     w = IB.make_direct_block_writer(builder, out, n_buckets=2)
     list(w([]))
-    # fake a stale predecessor: same pid prefix, different attempt + orphan
     bdir = tmp_path / "postings" / "bucket=0"
     (bdir / "part-00000-99.parquet").write_bytes(b"stale")
     (bdir / "part-00000-7.parquet.inprogress").write_bytes(b"dead")
     list(IB.make_direct_block_writer(builder, out, n_buckets=2)([]))
     names = sorted(f.name for f in bdir.glob("*"))
-    assert names == ["part-00000-0.parquet"]
+    # temp swept, both finals present until reconcile picks the winner
+    assert names == ["part-00000-0.parquet", "part-00000-99.parquet"]
+    IB._reconcile_dir(bdir, {0: 0})
+    assert sorted(f.name for f in bdir.glob("*")) == ["part-00000-0.parquet"]
 
 
 def test_reconcile_keeps_newest_attempt_and_drops_orphans(tmp_path):
@@ -366,13 +371,16 @@ def test_direct_staging_writer_retry_and_stats(tmp_path):
         if is_k0:
             expect[ford_v] += cf_v
     assert by_ford == dict(expect)
-    # retry: stale attempt + orphan replaced
+    # retry: orphan temp swept at writer startup; the stale final stays
+    # for the attempts-map reconcile (finals are never deleted in-task —
+    # see test_direct_writer_retry_cleans_inprogress_not_finals)
     (tmp_path / "staging" / "part-00000-42.parquet").write_bytes(b"x")
     (tmp_path / "staging" / "part-00000-9.parquet.inprogress").write_bytes(b"y")
     list(IB.make_direct_staging_writer(inner, out, n_buckets=4)([]))
     from pathlib import Path
 
-    IB._reconcile_dir(Path(out))
+    assert not list((tmp_path / "staging").glob("*.inprogress"))
+    IB._reconcile_dir(Path(out), {0: 0})
     names = sorted(f.name for f in (tmp_path / "staging").glob("*"))
     assert names == ["part-00000-0.parquet"]
 

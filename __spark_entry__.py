@@ -97,7 +97,7 @@ def _incr_engine(spark: SparkSession, sf_dir: str) -> TaxonomyEngine:
         extra = corpus.where(F.col("doc_id") % 5 == 0)
         build_index(spark, base, str(idx), DOCS_CONFIG, resume=True)
         eng = TaxonomyEngine(spark, str(idx), DOCS_CONFIG)
-        eng.append_docs(extra, batch_key="incr-0")  # no-op on replay
+        eng.append_docs(extra, batch_key="incr-0", auto_compact=False)  # no-op on replay
         _INCR_ENGINES[sf_dir] = eng
     return _INCR_ENGINES[sf_dir]
 
@@ -126,9 +126,13 @@ def _cmp_engine(spark: SparkSession, sf_dir: str) -> TaxonomyEngine:
         base = corpus.where(part >= 2)
         build_index(spark, base, str(idx), DOCS_CONFIG, resume=True)
         eng = TaxonomyEngine(spark, str(idx), DOCS_CONFIG)
-        eng.append_docs(corpus.where(part == 0), batch_key="cmp-0")
+        eng.append_docs(
+            corpus.where(part == 0), batch_key="cmp-0", auto_compact=False
+        )
         eng.compact()
-        eng.append_docs(corpus.where(part == 1), batch_key="cmp-1")
+        eng.append_docs(
+            corpus.where(part == 1), batch_key="cmp-1", auto_compact=False
+        )
         _COMPACT_ENGINES[sf_dir] = eng
     return _COMPACT_ENGINES[sf_dir]
 

@@ -204,15 +204,13 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
     elif args.mode == "append":
         eng = TaxonomyEngine(spark, args.index)
+        # append_docs applies the segment-merge policy itself (auto_compact)
+        # — scripted daily appends must not accumulate deltas unboundedly;
+        # metrics carries a "compacted" subdict when the trigger fired
         metrics = eng.append_docs(
             spark.read.parquet(args.corpus), batch_key=args.batch_key
         )
-        # same segment-merge policy the streaming path applies per batch —
-        # scripted daily appends must not accumulate deltas unboundedly
-        compacted = eng.maybe_compact()
         out = dict(metrics) if metrics else {"replayed": True}
-        if compacted:
-            out["compacted"] = compacted
         print(json.dumps(out))
     elif args.mode == "compact":
         eng = TaxonomyEngine(spark, args.index)

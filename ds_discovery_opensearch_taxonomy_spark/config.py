@@ -96,7 +96,21 @@ class EngineConfig:
     #: ~15-20% of the compacted floor while amortizing the generation
     #: rewrite over 16 appends.
     compact_after_batches: int = 16
+    #: absolute byte trigger (optional): compact once accumulated delta
+    #: bytes cross this, regardless of batch count.  Off by default — the
+    #: scale-free RATIO trigger below is the armed default.
     compact_after_delta_bytes: int | None = None
+    #: scale-free byte trigger (armed by default): compact when accumulated
+    #: delta bytes reach this fraction of the MAIN postings bytes (from the
+    #: manifest's per-bucket lineage — no directory walk).  Guards the
+    #: few-but-huge-deltas case the batch counter misses, without the
+    #: absolute threshold's failure mode of forcing a full generation
+    #: rewrite every fixed N bytes on an arbitrarily large index.  0.25
+    #: bounds the uncompacted overlay at ~20% of the read set (the
+    #: delta-latency curve, tools/delta_latency.py, is ~linear in overlay
+    #: size: ~+1%/delta at equal-size deltas) while amortizing each rewrite
+    #: over >=25% new data — the classic log-merge amortization bound.
+    compact_after_delta_ratio: float | None = 0.25
     #: doc_id-hash buckets of the RESULTS table: a save rewrites only the
     #: buckets its batch touches (engine.save_results), so bucket count
     #: bounds per-save I/O at ~touched_buckets x (table_bytes / n).  Size it
@@ -104,6 +118,12 @@ class EngineConfig:
     #: row table wants 10^4-10^5 buckets); bound once at first save, then
     #: pinned in the manifest so later configs can't shear the layout.
     n_results_buckets: int = 64
+    #: results snapshot retention (Iceberg snapshot-expiration analogue):
+    #: a superseded per-bucket results dir is GC'd only after this many
+    #: FURTHER saves touch the same bucket, so concurrent readers holding
+    #: a ``results()`` DataFrame across a save still collect correctly.
+    #: 0 = GC immediately (single-reader deployments).
+    results_snapshot_retention: int = 2
     #: terms with df above this many postings are salted across doc_id-range
     #: splits so no single build task holds a stopword-class posting list.
     salt_target_postings: int = 250_000

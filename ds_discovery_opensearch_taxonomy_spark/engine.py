@@ -90,13 +90,24 @@ class TaxonomyEngine:
             self.spark, str(self.reader.cat.root), self.config
         )
 
-    def append_docs(self, rows_df: DataFrame, batch_key: str) -> dict | None:
+    def append_docs(
+        self,
+        rows_df: DataFrame,
+        batch_key: str,
+        auto_compact: bool = True,
+    ) -> dict | None:
         """Append new/updated corpus rows to the LIVE index (idempotent by
         ``batch_key``) and refresh, so they are immediately searchable —
         the reference's bulk doc-as-upsert contract
         (OpenSearchIAViewUpdateRepository.cs:32-70).  Re-ingested doc_ids
         supersede their previous version (tombstoned); a batch must not
-        contain one doc_id twice."""
+        contain one doc_id twice.
+
+        Runs the auto-compaction policy after each applied append (pass
+        ``auto_compact=False`` to defer): without it an API-driven daily-
+        update loop accumulates unbounded deltas (~+1% query latency per
+        delta, BENCH.md) until someone compacts manually — the streaming
+        and CLI paths already compact, the public API must too."""
         from ds_discovery_opensearch_taxonomy_spark.operators.index_append import (
             append_batch,
         )
@@ -106,6 +117,10 @@ class TaxonomyEngine:
         )
         if metrics is not None:
             self.refresh()
+            if auto_compact:
+                compacted = self.maybe_compact()
+                if compacted is not None:
+                    metrics = {**metrics, "compacted": compacted}
         return metrics
 
     def compact(self) -> dict | None:
@@ -130,11 +145,22 @@ class TaxonomyEngine:
         if not deltas:
             return None
         c = self.config
-        if len(deltas) >= c.compact_after_batches or (
-            c.compact_after_delta_bytes
-            and sum(int(d.get("bytes") or 0) for d in deltas.values())
-            >= c.compact_after_delta_bytes
-        ):
+        delta_bytes = sum(int(d.get("bytes") or 0) for d in deltas.values())
+        trip = len(deltas) >= c.compact_after_batches
+        if not trip and c.compact_after_delta_bytes:
+            trip = delta_bytes >= c.compact_after_delta_bytes
+        if not trip and c.compact_after_delta_ratio:
+            # main postings bytes from the manifest's per-bucket lineage —
+            # already in memory from the deltas() read, no directory walk
+            main_bytes = sum(
+                int(b.get("bytes") or 0)
+                for b in self.reader.cat.manifest().get("buckets", {}).values()
+            )
+            trip = (
+                main_bytes > 0
+                and delta_bytes >= c.compact_after_delta_ratio * main_bytes
+            )
+        if trip:
             return self.compact()
         return None
 
@@ -289,6 +315,28 @@ class TaxonomyEngine:
             if filters
             else None
         )
+        if sort_by and min_score <= 0.0:
+            # bool-mode fast path (the reference's filter-context trick
+            # applied to the sort path): a metadata sort REPLACES relevance
+            # order and no min_score gate reads scores, so skip BM25
+            # entirely — unscored eval (no tf-norm/dl/block-max work), join
+            # docs, TakeOrderedAndProject.  Scores report as 0.0, exactly
+            # the reference's filter-context scoring contract.
+            res = search_ops.run_categories(
+                self.spark,
+                self.reader,
+                [("__q", query_text)],
+                scored=False,
+                config=config,
+                extra_filters=extra,
+            ).withColumn("score", F.lit(0.0))
+            res = res.join(self.reader.docs(), "doc_id")
+            order = [
+                (F.asc(c) if asc else F.desc(c)) for c, asc in sort_by
+            ] + [F.asc("doc_id")]
+            return res.orderBy(*order).limit(offset + limit).select(
+                "category_id", "doc_id", "score", *[c for c, _ in sort_by]
+            )
         res = search_ops.run_categories(
             self.spark,
             self.reader,
@@ -457,13 +505,25 @@ class TaxonomyEngine:
             for d in snap_dir.glob("bucket=*")
             if d.is_dir()
         )
-        cat.commit_results_buckets(
-            {b: snap for b in touched}, nb, drop_legacy=legacy > 0
-        )  # ONE atomic pointer flip for all touched buckets
-        for b in touched:  # GC superseded per-bucket dirs
-            old = bmap.get(b)
-            if old is not None and old != snap:
-                shutil.rmtree(self._results_part(b, old), ignore_errors=True)
+        # ONE atomic pointer flip for all touched buckets; superseded
+        # versions enter the retained-snapshot horizon (Iceberg snapshot
+        # expiration): only versions more than config.
+        # results_snapshot_retention saves behind fall out as GC victims,
+        # so a DataFrame from ``results()`` taken before this save can
+        # still collect (its lazy file listing survives the horizon) —
+        # round-4 review: immediate GC raced concurrent readers.
+        superseded = {
+            b: bmap[b] for b in touched if b in bmap and bmap[b] != snap
+        }
+        victims = cat.commit_results_buckets(
+            {b: snap for b in touched},
+            nb,
+            drop_legacy=legacy > 0,
+            superseded=superseded,
+            keep=max(0, int(self.config.results_snapshot_retention)),
+        )
+        for b, old in victims:  # GC only beyond the retention horizon
+            shutil.rmtree(self._results_part(b, old), ignore_errors=True)
         if legacy > 0:
             shutil.rmtree(
                 cat.path(f"{IndexCatalog.RESULTS}_v{legacy}"),

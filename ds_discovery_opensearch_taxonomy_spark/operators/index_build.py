@@ -1454,20 +1454,23 @@ def reconcile_from_manifest(cat) -> None:
     post = _int_keys(cat.get_meta("postings_attempts"))
     if post is not None:
         _reconcile_direct_write(cat.path("postings"), post)
-    stg = _int_keys(
-        cat.manifest()["stages"]
-        .get("staging", {})
-        .get("metrics", {})
-        .get("attempts")
+    stg_metrics = (
+        cat.manifest()["stages"].get("staging", {}).get("metrics", {})
     )
+    stg = _int_keys(stg_metrics.get("attempts"))
     if stg is not None:
         from pathlib import Path
 
         _reconcile_dir(Path(cat.path("staging")), stg)
-        # the docs table is written by the same tasks (docs tee) under the
-        # same attempt map; for older JVM-written docs tables this is a
-        # no-op (_direct_file_key rejects committer file names)
-        _reconcile_dir(Path(cat.path("docs")), stg)
+        # the docs table is pruned by this map ONLY when it was written by
+        # the same tasks (docs tee, metrics.docs_teed): a mixed-manifest
+        # resume rebuilds staging WITHOUT re-teeing docs, so the committed
+        # docs files carry the ORIGINAL build's attempt ids — pruning them
+        # against the re-run's map would delete live data.  Older
+        # JVM-written docs tables are a no-op either way (_direct_file_key
+        # rejects committer file names).
+        if stg_metrics.get("docs_teed"):
+            _reconcile_dir(Path(cat.path("docs")), stg)
 
 
 #: direct staging-write stats: per-(task, field) cf sums over kind-0 rows
@@ -1547,6 +1550,23 @@ def make_docs_tee(
         writer = None
         start = offsets[pid] if pid < len(offsets) else None
         nxt = start or 0
+        # buffer input batches (~10k rows each) into large row groups —
+        # one write_table per Arrow batch produced many tiny row groups,
+        # slowing every downstream docmap/docs_view scan (round-4 review)
+        pend: list = []
+        pend_bytes = 0
+        FLUSH_BYTES = 64 << 20
+
+        def _flush():
+            nonlocal writer, pend, pend_bytes
+            if not pend:
+                return
+            tbl = pa.Table.from_batches(pend)
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, tbl.schema, compression="snappy")
+            writer.write_table(tbl)
+            pend, pend_bytes = [], 0
+
         try:
             for rb in batches:
                 if rb.num_rows:
@@ -1562,12 +1582,12 @@ def make_docs_tee(
                     out = pa.RecordBatch.from_arrays(
                         cols + [ords], names=docs_cols + ["ord"]
                     )
-                    if writer is None:
-                        writer = pq.ParquetWriter(
-                            tmp, out.schema, compression="snappy"
-                        )
-                    writer.write_table(pa.Table.from_batches([out]))
+                    pend.append(out)
+                    pend_bytes += out.nbytes
+                    if pend_bytes >= FLUSH_BYTES:
+                        _flush()
                 yield rb
+            _flush()
             if writer is not None:
                 writer.close()
                 writer = None
@@ -1940,12 +1960,35 @@ def build_index(
             ],
         )
 
+    def _reprune_staged() -> None:
+        """Close the BUILD-INTERNAL zombie window (round-4 review): a
+        speculative tokenize attempt killed mid-task can os.rename its
+        staging/docs final AFTER `_staging_action`'s post-job sweep but
+        BEFORE an overlapped consumer (docmap/dictionary/postings) lists
+        the directory — re-prune from the manifest-persisted attempts map
+        right before each such listing.  Reader opens are separately
+        protected by reconcile_from_manifest."""
+        from pathlib import Path as _Path
+
+        metrics = (
+            cat.manifest()["stages"].get("staging", {}).get("metrics", {})
+        )
+        stg = _int_keys(metrics.get("attempts"))
+        if stg is not None:
+            _reconcile_dir(_Path(cat.path(IndexCatalog.STAGING)), stg)
+            # docs only when the SAME tasks teed it (see
+            # reconcile_from_manifest: a mixed-manifest resume's docs
+            # carry the original build's attempt ids)
+            if metrics.get("docs_teed"):
+                _reconcile_dir(_Path(cat.path(IndexCatalog.DOCS)), stg)
+
     # -- stage 3: per-field doc stats (N, avgdl) — tiny driver-built table --
     # 4 rows: written directly with pyarrow (a Spark job for this pays the
     # python-RDD createDataFrame warmup for nothing; Spark reads it fine)
     if not cat.stage_done("doc_stats"):
         sum_dl = cat.manifest()["stages"]["staging"]["metrics"].get("sum_dl")
         if sum_dl is None:  # resumed from an older staging commit
+            _reprune_staged()
             staged = spark.read.parquet(cat.path(IndexCatalog.STAGING))
             sum_dl = {
                 field_names[int(r["ford"])]: int(r["s"])
@@ -1974,6 +2017,7 @@ def build_index(
     # varbyte per POSTING in the blocks.  Rows are chunked so no parquet
     # cell or eval allocation exceeds ~2 MB even for giant bands.
     def _docmap_action():
+        _reprune_staged()
         docs_df = spark.read.parquet(cat.path(IndexCatalog.DOCS)).select(
             "ord", "doc_id"
         )
@@ -1994,6 +2038,7 @@ def build_index(
     # agg, so the whole stage codegens (first() would force
     # ObjectHashAggregate)
     def _dictionary_action():
+        _reprune_staged()
         staged = spark.read.parquet(cat.path(IndexCatalog.STAGING)).where(
             F.col("kind") == 0
         )
@@ -2106,7 +2151,15 @@ def build_index(
         nonlocal dict_fut
         if dict_fut is not None:
             fut, dict_fut = dict_fut, None
-            cat.commit_stage("dictionary", fut.result() or {})
+            try:
+                m = fut.result() or {}
+            except Exception as e:
+                # attribute to the true stage — without this the postings
+                # try-block reports a dictionary error as a postings failure
+                raise RuntimeError(
+                    "overlapped dictionary stage failed"
+                ) from e
+            cat.commit_stage("dictionary", m)
 
     postings_err = None
     try:
@@ -2120,6 +2173,8 @@ def build_index(
             float(n_docs), avgdl_ord, config.k1, config.b,
             config.block_size, ord_shift,
         )
+        if todo:
+            _reprune_staged()
         if todo and not config.bucket_resume:
             _build_postings_single_job(
                 spark, cat, config, builder, ord_bits, dict_ready=dict_ready
@@ -2209,6 +2264,13 @@ def build_index(
     bg_err = None
     for _name, _fut in (("dictionary", dict_fut), ("docmap", docmap_fut)):
         if _fut is None:
+            continue
+        if postings_err is not None:
+            # surface the postings failure promptly: cancel not-yet-started
+            # background stages and ABANDON running ones (their Spark action
+            # finishes in the pool thread, result discarded, stage left
+            # uncommitted — resume re-runs it) instead of blocking on them
+            _fut.cancel()
             continue
         try:
             cat.commit_stage(_name, _fut.result() or {})

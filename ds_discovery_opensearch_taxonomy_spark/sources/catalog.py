@@ -115,11 +115,24 @@ class IndexCatalog:
         return int(self.manifest().get("results_snapshot", 0)) + 1
 
     def commit_results_buckets(
-        self, updates: dict[int, int], n_buckets: int, drop_legacy: bool = False
-    ) -> None:
+        self,
+        updates: dict[int, int],
+        n_buckets: int,
+        drop_legacy: bool = False,
+        superseded: dict[int, int] | None = None,
+        keep: int = 0,
+    ) -> list[tuple[int, int]]:
         """ONE atomic manifest write flips every touched bucket to its new
         snapshot (and retires the legacy pointer on migration) — a crash
-        before it leaves the previous per-bucket view fully live."""
+        before it leaves the previous per-bucket view fully live.
+
+        Snapshot retention (Iceberg snapshot-expiration analogue): each
+        bucket's superseded versions are appended to a per-bucket retired
+        list in the SAME atomic write, and versions beyond the newest
+        ``keep`` fall off and are RETURNED as GC victims for the caller to
+        delete.  ``keep > 0`` lets a DataFrame obtained from ``results()``
+        before a save still collect afterwards (its lazily-listed files
+        survive until ``keep`` further saves touch the same bucket)."""
         m = self.manifest()
         rb = m.setdefault("results_buckets", {})
         for b, v in updates.items():
@@ -131,7 +144,15 @@ class IndexCatalog:
             )
         if drop_legacy:
             m["results_version"] = 0
+        victims: list[tuple[int, int]] = []
+        retired = m.setdefault("results_retired", {})
+        for b, old in (superseded or {}).items():
+            lst = retired.setdefault(str(int(b)), [])
+            lst.append(int(old))
+            while len(lst) > keep:
+                victims.append((int(b), int(lst.pop(0))))
         self._write_manifest(m)
+        return victims
 
     def is_complete(self, n_buckets: int) -> bool:
         m = self.manifest()

@@ -451,11 +451,10 @@ def start_incremental(
         per_doc = categorise_batch(engine, batch_df)
         engine.save_results(per_doc)
         if update_index:
+            # append_docs runs the segment-merge trigger itself
+            # (auto_compact, config.compact_after_batches/_delta_ratio) so
+            # query latency never walks off with unbounded delta count
             engine.append_docs(batch_df, batch_key=f"stream-{batch_id}")
-            # segment-merge trigger: fold deltas once they pile past the
-            # configured threshold (config.compact_after_batches) so query
-            # latency never walks off with unbounded delta count
-            engine.maybe_compact()
 
     return (
         stream_df.writeStream.foreachBatch(process)

@@ -52,7 +52,7 @@ def appended(spark, tmp_path_factory):
     build_index(spark, base, str(out), TEST_CONFIG)
     eng = TaxonomyEngine(spark, str(out), TEST_CONFIG)
     extra = full.join(base.select("doc_id"), "doc_id", "left_anti")
-    m1 = eng.append_docs(extra, batch_key="b1")
+    m1 = eng.append_docs(extra, batch_key="b1", auto_compact=False)
     assert m1 is not None and m1["n_docs"] == N_FULL - N_BASE
     rows = [r.asDict() for r in full.collect()]
     oracle = OracleIndex(
@@ -127,7 +127,7 @@ def test_appended_reference_categories(appended, spark):
 def test_append_replay_is_noop(appended, spark):
     eng, _, _ = appended
     extra = with_doc_ids(synthesize_corpus(spark, N_FULL)).limit(5)
-    assert eng.append_docs(extra, batch_key="b1") is None
+    assert eng.append_docs(extra, batch_key="b1", auto_compact=False) is None
     assert eng.reader.docs().count() == N_FULL
 
 
@@ -159,7 +159,7 @@ def test_update_supersedes_old_version(spark, tmp_path_factory):
         )
     )
     assert upd_df.first()["doc_id"] == row["doc_id"]  # same identity
-    m = eng.append_docs(upd_df, batch_key="upd")
+    m = eng.append_docs(upd_df, batch_key="upd", auto_compact=False)
     assert m is not None
     # new content matches
     res = run_categories(
@@ -245,7 +245,7 @@ def test_append_compact_append_chain(spark, tmp_path_factory):
     )
     build_index(spark, b0, str(out), TEST_CONFIG)
     eng = TaxonomyEngine(spark, str(out), TEST_CONFIG)
-    assert eng.append_docs(b1, batch_key="c1") is not None
+    assert eng.append_docs(b1, batch_key="c1", auto_compact=False) is not None
     assert eng.reader.cat.next_delta_seq() == 1
     assert eng.compact() is not None
     # the seq counter reset with the salt renumber (atomic manifest write)
@@ -266,8 +266,8 @@ def test_append_compact_append_chain(spark, tmp_path_factory):
     assert not [s for s in salts if s >= DELTA_SALT_BASE]
     # compaction must not erase the idempotency ledger: a replayed
     # batch_key stays a no-op even after its delta was folded into main
-    assert eng.append_docs(b1, batch_key="c1") is None
-    assert eng.append_docs(b2, batch_key="c2") is not None
+    assert eng.append_docs(b1, batch_key="c1", auto_compact=False) is None
+    assert eng.append_docs(b2, batch_key="c2", auto_compact=False) is not None
     rows = [r.asDict() for r in full.collect()]
     oracle = OracleIndex(
         [
@@ -394,7 +394,7 @@ def test_next_ord_commit_is_atomic_and_self_repairing(spark, tmp_path_factory):
     extra = full.join(base.select("doc_id"), "doc_id", "left_anti")
     b1 = extra.where(F_col_mod(extra) == 0)
     b2 = extra.where(F_col_mod(extra) == 1)
-    m1 = eng.append_docs(b1, batch_key="a1")
+    m1 = eng.append_docs(b1, batch_key="a1", auto_compact=False)
     assert m1 is not None
     # next_ord landed in the commit itself
     assert eng.reader.cat.get_meta("next_ord") == m1["base_ord"] + m1["n_docs"]
@@ -403,7 +403,7 @@ def test_next_ord_commit_is_atomic_and_self_repairing(spark, tmp_path_factory):
     m = json.loads(mp.read_text())
     m["meta"]["next_ord"] = 120
     mp.write_text(json.dumps(m))
-    m2 = eng.append_docs(b2, batch_key="a2")
+    m2 = eng.append_docs(b2, batch_key="a2", auto_compact=False)
     assert m2 is not None
     # the second batch's ord range starts ABOVE the first (no reuse)
     assert m2["base_ord"] >= m1["base_ord"] + m1["n_docs"]
@@ -441,7 +441,7 @@ def test_compaction_remaps_arbitrary_salt_domains(spark, tmp_path_factory):
     build_index(spark, b0, str(out), TEST_CONFIG)
     eng = TaxonomyEngine(spark, str(out), TEST_CONFIG)
     eng.reader.cat.set_meta("next_delta_seq", 5)
-    m1 = eng.append_docs(b1, batch_key="drift")
+    m1 = eng.append_docs(b1, batch_key="drift", auto_compact=False)
     assert m1 is not None and m1["seq"] == 5
     salts = {
         int(r["salt"])
@@ -489,7 +489,7 @@ def test_delta_salt_exhaustion_fails_loudly(spark, tmp_path_factory):
     eng.reader.cat.set_meta("next_delta_seq", MAX_DELTA_SEQ + 1)
     extra = with_doc_ids(synthesize_corpus(spark, 41)).where("doc_id >= 40")
     with pytest.raises(RuntimeError, match="rebuild"):
-        eng.append_docs(extra, batch_key="overflow")
+        eng.append_docs(extra, batch_key="overflow", auto_compact=False)
 
 
 def test_append_derives_stats_base_when_staging_metrics_missing(
@@ -512,7 +512,7 @@ def test_append_derives_stats_base_when_staging_metrics_missing(
     mp.write_text(json.dumps(m))
     eng = TaxonomyEngine(spark, str(out), TEST_CONFIG)
     extra = full.join(base.select("doc_id"), "doc_id", "left_anti")
-    assert eng.append_docs(extra, batch_key="ns1") is not None
+    assert eng.append_docs(extra, batch_key="ns1", auto_compact=False) is not None
     pinned = eng.reader.cat.get_meta("stats_base")
     assert pinned is not None and pinned["n_docs"] == 120
     assert all(v > 0 for v in pinned["sum_dl"].values())
@@ -548,7 +548,7 @@ def test_append_pins_encode_avgdl_when_missing(spark, tmp_path_factory):
     mp.write_text(json.dumps(m))
     eng = TaxonomyEngine(spark, str(out), TEST_CONFIG)
     extra = full.join(base.select("doc_id"), "doc_id", "left_anti")
-    assert eng.append_docs(extra, batch_key="old") is not None
+    assert eng.append_docs(extra, batch_key="old", auto_compact=False) is not None
     pinned = eng.reader.cat.get_meta("encode_avgdl")
     assert pinned and all(v > 1.0 for v in pinned.values())
     rows = [r.asDict() for r in full.collect()]
@@ -572,7 +572,9 @@ def test_auto_compaction_triggers_at_threshold(spark, tmp_path_factory):
     import dataclasses
 
     out = tmp_path_factory.mktemp("autocompact")
-    cfg = dataclasses.replace(TEST_CONFIG, compact_after_batches=3)
+    cfg = dataclasses.replace(
+        TEST_CONFIG, compact_after_batches=3, compact_after_delta_ratio=None
+    )
     full = with_doc_ids(synthesize_corpus(spark, 160))
     base = with_doc_ids(synthesize_corpus(spark, 100))
     extra = full.join(base.select("doc_id"), "doc_id", "left_anti").limit(60)
@@ -582,18 +584,21 @@ def test_auto_compaction_triggers_at_threshold(spark, tmp_path_factory):
     build_index(spark, base, str(out), cfg)
     eng = TaxonomyEngine(spark, str(out), cfg)
 
-    assert eng.append_docs(chunks[0], batch_key="a0") is not None
+    assert eng.append_docs(chunks[0], batch_key="a0", auto_compact=False) is not None
     assert eng.maybe_compact() is None  # 1 delta < threshold
-    assert eng.append_docs(chunks[1], batch_key="a1") is not None
+    assert eng.append_docs(chunks[1], batch_key="a1", auto_compact=False) is not None
     assert eng.maybe_compact() is None  # 2 deltas < threshold
-    assert eng.append_docs(chunks[2], batch_key="a2") is not None
+    assert eng.append_docs(chunks[2], batch_key="a2", auto_compact=False) is not None
     compacted = eng.maybe_compact()  # 3 deltas -> automatic compact
     assert compacted is not None and compacted["batches_compacted"] == 3
     assert not eng.reader.cat.deltas()
 
     # byte threshold path: tiny limit trips after ONE more append
     cfg_b = dataclasses.replace(
-        TEST_CONFIG, compact_after_batches=99, compact_after_delta_bytes=1
+        TEST_CONFIG,
+        compact_after_batches=99,
+        compact_after_delta_bytes=1,
+        compact_after_delta_ratio=None,
     )
     eng_b = TaxonomyEngine(spark, str(out), cfg_b)
     # materialize BEFORE appending: compaction GCs the docs generation this
@@ -606,7 +611,7 @@ def test_auto_compaction_triggers_at_threshold(spark, tmp_path_factory):
         .collect()
     ]
     more = spark.createDataFrame(more_rows)
-    assert eng_b.append_docs(more, batch_key="b0") is not None
+    assert eng_b.append_docs(more, batch_key="b0", auto_compact=False) is not None
     assert eng_b.maybe_compact() is not None
     assert not eng_b.reader.cat.deltas()
 
@@ -683,6 +688,7 @@ def test_reader_open_prunes_zombie_attempt_files(spark, tmp_path_factory):
             eng.reader.docs().select("doc_id"), "doc_id", "left_anti"
         ),
         "zb-1",
+        auto_compact=False,
     )
     eng.compact()
     cat2 = eng.reader.cat
@@ -696,3 +702,73 @@ def test_reader_open_prunes_zombie_attempt_files(spark, tmp_path_factory):
         for f in d.glob("part-*.parquet")
     }
     assert pids_on_disk == {int(k) for k in atts2}
+
+
+def test_append_docs_api_auto_compacts(spark, tmp_path_factory):
+    """The PUBLIC API append path runs the auto-compaction policy itself
+    (round-4 review: only the streaming and CLI paths compacted, so an
+    API-driven daily-update loop accumulated unbounded deltas).  Count
+    trigger: the Nth ``append_docs`` folds every delta inside the same
+    call and reports it in the returned metrics.  Ratio trigger: one
+    append big relative to the main postings bytes compacts immediately
+    even at batch count 1 (the scale-free byte trigger,
+    config.compact_after_delta_ratio)."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    out = tmp_path_factory.mktemp("api_autocompact")
+    cfg = dataclasses.replace(
+        TEST_CONFIG, compact_after_batches=2, compact_after_delta_ratio=None
+    )
+    full = with_doc_ids(synthesize_corpus(spark, 160))
+    base = with_doc_ids(synthesize_corpus(spark, 100))
+    extra = full.join(base.select("doc_id"), "doc_id", "left_anti").limit(40)
+    chunks = [
+        extra.where(F.pmod(F.col("doc_id"), F.lit(2)) == i).persist()
+        for i in range(2)
+    ]
+    build_index(spark, base, str(out), cfg)
+    eng = TaxonomyEngine(spark, str(out), cfg)
+    m0 = eng.append_docs(chunks[0], batch_key="a0")
+    assert m0 is not None and "compacted" not in m0
+    assert len(eng.reader.cat.deltas()) == 1
+    m1 = eng.append_docs(chunks[1], batch_key="a1")
+    assert m1 is not None and m1["compacted"]["batches_compacted"] == 2
+    assert not eng.reader.cat.deltas()
+
+    # ratio trigger: batch-count threshold far away, tiny ratio -> the
+    # very next append folds itself
+    cfg_r = dataclasses.replace(
+        TEST_CONFIG, compact_after_batches=99, compact_after_delta_ratio=0.01
+    )
+    eng_r = TaxonomyEngine(spark, str(out), cfg_r)
+    more_rows = [
+        r.asDict()
+        for r in with_doc_ids(synthesize_corpus(spark, 200))
+        .join(eng_r.reader.docs().select("doc_id"), "doc_id", "left_anti")
+        .limit(30)
+        .collect()
+    ]
+    m2 = eng_r.append_docs(spark.createDataFrame(more_rows), batch_key="r0")
+    assert m2 is not None and "compacted" in m2
+    assert not eng_r.reader.cat.deltas()
+
+    # and the auto-compacted live view still matches the independent oracle
+    live_ids = {r["doc_id"] for r in eng_r.reader.docs().collect()}
+    rows = [
+        r.asDict()
+        for r in with_doc_ids(synthesize_corpus(spark, 200)).collect()
+        if r["doc_id"] in live_ids
+    ]
+    oracle = OracleIndex(
+        [
+            build_oracle_doc(
+                r["doc_id"], r, TEST_CONFIG,
+                doc_ref=f'{r["repo"]}/{r["path"]}/{r["commit"]}',
+            )
+            for r in rows
+        ],
+        TEST_CONFIG,
+    )
+    _parity(spark, eng_r, oracle, QUERIES[:3], scored=True, top_k=5)

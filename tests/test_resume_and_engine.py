@@ -404,3 +404,53 @@ def test_resume_staging_committed_docs_not(spark, corpus, tmp_path):
     ref_docs = spark.read.parquet(str(ref_dir / "docs")).select("ord", "doc_id")
     got_docs = spark.read.parquet(str(mix_dir / "docs")).select("ord", "doc_id")
     assert ref_docs.exceptAll(got_docs).count() == 0
+
+
+def test_results_reader_survives_saves_then_gc_beyond_horizon(spark, engine):
+    """Snapshot retention (round-4 review: immediate GC raced concurrent
+    readers): a DataFrame obtained from ``results()`` BEFORE a save still
+    collects after later saves supersede its bucket dirs — superseded
+    generations fall out only beyond config.results_snapshot_retention
+    further saves of the same bucket, at which point their dirs ARE
+    GC'd (the Iceberg snapshot-expiration analogue)."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    if not engine.reader.cat.results_buckets():
+        engine.save_results(engine.categorise_all())
+    cat = engine.reader.cat
+    held = engine.results()
+    n_before = held.count()
+
+    one = engine.results().limit(1).select("doc_id")
+    doc = one.collect()[0]["doc_id"]
+
+    def save_tag(tag):
+        engine.save_results(
+            spark.createDataFrame(
+                [(doc, [tag])], "doc_id long, category_ids array<string>"
+            )
+        )
+
+    keep = engine.config.results_snapshot_retention
+    assert keep >= 2
+    v0 = dict(cat.results_buckets())
+    save_tag("RET1")
+    save_tag("RET2")
+    # within the horizon: the pre-save DataFrame still collects fully
+    assert held.count() == n_before
+    # the bucket's original dir is still on disk (retired, not GC'd)
+    (b,) = [b for b in cat.results_buckets() if cat.results_buckets()[b] != v0[b]]
+    first_old = v0[b]
+    assert Path(engine._results_part(b, first_old)).exists()
+    # one more save pushes the ORIGINAL version past keep=2 -> GC victim
+    save_tag("RET3")
+    assert not Path(engine._results_part(b, first_old)).exists()
+    # retired ledger never holds more than `keep` versions per bucket
+    retired = cat.manifest().get("results_retired", {})
+    assert all(len(v) <= keep for v in retired.values())
+    # live view is the latest write and table row count is unchanged
+    got = engine.results().where(F.col("doc_id") == doc).collect()[0]
+    assert got["category_ids"] == ["RET3"]
+    assert engine.results().count() == n_before

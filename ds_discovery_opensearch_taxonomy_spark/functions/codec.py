@@ -76,20 +76,24 @@ def varbyte_decode(data: bytes, count: int | None = None) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     is_last = (raw & _CONT) == 0
     ends = np.flatnonzero(is_last)
+    n = ends.size
+    if n == raw.size:
+        # all single-byte values (tf streams, dense gap streams) — the
+        # dominant case in the eval kernel's decode profile
+        vals = raw.astype(np.uint64)
+        if count is not None and vals.size != count:
+            raise ValueError(f"expected {count} values, decoded {vals.size}")
+        return vals
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     widths = ends - starts + 1
-    maxw = int(widths.max())
-    n = ends.size
-    # gather bytes into an (n, maxw) matrix, zero-padded
-    mat = np.zeros((n, maxw), dtype=np.uint64)
-    col = np.arange(maxw, dtype=np.int64)
-    gather = starts[:, None] + col[None, :]
-    valid = col[None, :] < widths[:, None]
-    mat[valid] = (raw[gather[valid]] & 0x7F).astype(np.uint64)
-    shifts = (col.astype(np.uint64) * _U64(7))[None, :]
-    vals = (mat << shifts).sum(axis=1, dtype=np.uint64)
+    # segmented shift-accumulate: O(total bytes), no (n, maxw) matrix
+    pos_in = np.arange(raw.size, dtype=np.int64) - np.repeat(starts, widths)
+    contrib = (raw & 0x7F).astype(np.uint64) << (
+        pos_in.astype(np.uint64) * _U64(7)
+    )
+    vals = np.add.reduceat(contrib, starts)
     if count is not None and vals.size != count:
         raise ValueError(f"expected {count} values, decoded {vals.size}")
     return vals

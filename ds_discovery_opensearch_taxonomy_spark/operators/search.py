@@ -935,13 +935,91 @@ def _encode_virtual_key(
 
 
 class _TermData:
-    __slots__ = ("ids", "tfs", "pos_offsets", "pos_flat")
+    """One term's decoded postings.  Positions decode LAZILY: the posdata
+    byte stream is carried raw (``_raw``) and only turned into
+    (offsets, flat) arrays on first ``pos_offsets``/``pos_flat`` access —
+    a phrase whose slot-term docid intersection comes up empty (the
+    common case: most phrases match nothing in a band) never pays its
+    terms' position decode, and ``_slot_keys`` skips terms with no
+    candidate overlap the same way.  ``_full_tfs``/``_keep`` carry the
+    pre-tombstone tf array + keep mask the deferred decode needs."""
 
-    def __init__(self, ids, tfs, pos_offsets, pos_flat):
+    __slots__ = (
+        "ids", "tfs", "_po", "_pf", "_raw", "_full_tfs", "_keep", "_adj",
+        "stats",
+    )
+
+    def __init__(self, ids, tfs, pos_offsets, pos_flat,
+                 pos_raw=None, full_tfs=None, keep=None):
         self.ids = ids
         self.tfs = tfs
-        self.pos_offsets = pos_offsets
-        self.pos_flat = pos_flat
+        self._po = pos_offsets
+        self._pf = pos_flat
+        self._raw = pos_raw
+        self._full_tfs = full_tfs
+        self._keep = keep
+        self._adj: dict[int, np.ndarray] = {}
+        self.stats = None  # optional trace-counter dict (see _Evaluator)
+
+    def adj_keys(self, si: int, off: np.int64) -> np.ndarray:
+        """Sorted-unique absolute occurrence keys ``ord << 32 | (pos + off
+        - si)`` adjusted for slot index ``si`` — CACHED per (term, si), so
+        a term shared by many phrases (e.g. "publication" across ~20
+        "X publication" phrases in the 136-category fixture) builds its
+        key array once per eval group instead of once per phrase."""
+        arr = self._adj.get(si)
+        if arr is None:
+            base = self._adj.get(0)
+            if base is None:
+                po = self.pos_offsets  # may trigger the lazy decode
+                ids_rep = np.repeat(self.ids, np.diff(po))
+                base = (ids_rep << 32) | (self.pos_flat + off)
+                # ascending by construction (ids sorted, per-doc positions
+                # ascending); dedupe stacked tokens at one position
+                if len(base) > 1:
+                    base = base[np.concatenate(([True], base[1:] != base[:-1]))]
+                self._adj[0] = base
+            arr = base if si == 0 else base - np.int64(si)
+            self._adj[si] = arr
+        return arr
+
+    @property
+    def has_pos(self) -> bool:
+        """Whether positions are available — WITHOUT forcing the decode."""
+        return self._po is not None or self._raw is not None
+
+    @property
+    def pos_offsets(self):
+        if self._po is None and self._raw is not None:
+            self._decode_pos()
+        return self._po
+
+    @property
+    def pos_flat(self):
+        if self._pf is None and self._raw is not None:
+            self._decode_pos()
+        return self._pf
+
+    def _decode_pos(self) -> None:
+        import time as _t
+
+        _s = _t.perf_counter() if self.stats is not None else 0.0
+        po, pf = codec.decode_positions(self._full_tfs, self._raw)
+        if self._keep is not None:
+            from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
+                _ragged_gather,
+            )
+
+            lens = np.diff(po)
+            klens = lens[self._keep]
+            pf = pf[_ragged_gather(po[:-1][self._keep], klens.astype(np.int64))]
+            po = np.concatenate([[0], np.cumsum(klens)]).astype(np.int64)
+        self._po, self._pf = po, pf
+        if self.stats is not None:
+            self.stats["pos_decode_s"] += _t.perf_counter() - _s
+            self.stats["n_pos_decoded"] += 1
+            self.stats["pos_ints"] += len(pf)
+        self._raw = self._full_tfs = self._keep = None
 
 
 _EMPTY = np.empty(0, dtype=np.int64)
@@ -960,10 +1038,17 @@ def _decode_rows(rows: pd.DataFrame, need_positions: bool) -> _TermData:
     is absolute, so per-block values are recovered with a segmented cumsum
     (subtract the carried prefix at each block start) instead of per-block
     decode calls, which dominated the profile at ~70 blocks/term."""
-    rows = rows.sort_values(["salt", "blk_seq"])
-    ns = rows["n"].to_numpy().astype(np.int64)
+    # numpy lexsort + object-array gather: pandas sort_values cost ~1 ms
+    # per term (~0.3 s/group over ~300 terms — profiled), all of it
+    # categorical/indexing overhead the two int columns don't need
+    order = np.lexsort(
+        (rows["blk_seq"].to_numpy(), rows["salt"].to_numpy())
+    )
+    ns = rows["n"].to_numpy().astype(np.int64)[order]
+    doc_b = rows["docids"].to_numpy()
+    tf_b = rows["tfs"].to_numpy()
     total = int(ns.sum())
-    gaps = codec.varbyte_decode(b"".join(rows["docids"]), count=total)
+    gaps = codec.varbyte_decode(b"".join(doc_b[i] for i in order), count=total)
     with np.errstate(over="ignore"):
         cum = np.cumsum(gaps, dtype=np.uint64)
         starts = np.zeros(len(ns), dtype=np.int64)
@@ -971,15 +1056,20 @@ def _decode_rows(rows: pd.DataFrame, need_positions: bool) -> _TermData:
         base = cum[starts] - gaps[starts]  # carried prefix per block
         cum -= np.repeat(base, ns)
         ids = (cum - _U64_SHIFT).astype(np.int64)
-    tfs = codec.varbyte_decode(b"".join(rows["tfs"]), count=total).astype(np.int64)
-    pos_offsets = pos_flat = None
+    tfs = codec.varbyte_decode(
+        b"".join(tf_b[i] for i in order), count=total
+    ).astype(np.int64)
+    pos_raw = None
     if need_positions and rows["posdata"].iloc[0] is not None:
         # per-posting position counts == tfs (no separate poslens stream);
         # per-posting delta chains restart absolute, so one decode suffices.
         # posdata arrives null for terms no phrase in this chunk uses —
-        # their positions were dropped before the eval shuffle.
-        pos_offsets, pos_flat = codec.decode_positions(tfs, b"".join(rows["posdata"]))
-    return _TermData(ids, tfs, pos_offsets, pos_flat)
+        # their positions were dropped before the eval shuffle.  The decode
+        # itself is DEFERRED (see _TermData): only phrases that reach a
+        # non-empty candidate set force it.
+        pos_b = rows["posdata"].to_numpy()
+        pos_raw = b"".join(pos_b[i] for i in order)
+    return _TermData(ids, tfs, None, None, pos_raw=pos_raw, full_tfs=tfs)
 
 
 def _union_add(ids_a, sc_a, ids_b, sc_b):
@@ -998,16 +1088,71 @@ def _union_add(ids_a, sc_a, ids_b, sc_b):
     return uniq, out
 
 
+def _union_add_many(parts):
+    """ONE-SHOT union of many sorted (ids, scores) pairs, scores summed on
+    overlap — replaces an iterative ``_union_add`` chain, which is
+    O(clauses x accumulated size) with a fresh argsort per step, with one
+    O(total log total) unique.  The 136-category fixture has categories
+    with hundreds of SHOULD clauses (501 phrases in the heaviest), where
+    the chain dominated the eval kernel."""
+    parts = [(i, s) for i, s in parts if len(i)]
+    if not parts:
+        return _EMPTY, _EMPTY
+    if len(parts) == 1:
+        return parts[0]
+    allids = np.concatenate([i for i, _ in parts])
+    allsc = np.concatenate([s for _, s in parts])
+    ids, inverse = np.unique(allids, return_inverse=True)
+    sc = np.bincount(inverse, weights=allsc, minlength=len(ids))
+    return ids, sc
+
+
+def _union_ids_many(parts):
+    """One-shot constant-score union of many sorted id arrays."""
+    parts = [i for i in parts if len(i)]
+    if not parts:
+        return _EMPTY
+    if len(parts) == 1:
+        return parts[0]
+    return np.unique(np.concatenate(parts))
+
+
+def _member_mask(a: np.ndarray, b: np.ndarray):
+    """For sorted-unique arrays: boolean mask of a's elements present in b,
+    plus their positions in b (valid where the mask is True).  One
+    searchsorted — O(|a| log |b|) — where np.intersect1d/np.isin re-sort
+    the concatenation every call (profiled hot in the eval kernel)."""
+    if len(b) == 0 or len(a) == 0:
+        return np.zeros(len(a), dtype=bool), np.empty(0, dtype=np.int64)
+    idx = np.searchsorted(b, a)
+    np.minimum(idx, len(b) - 1, out=idx)
+    return b[idx] == a, idx
+
+
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection VALUES of two sorted-unique arrays (searchsorted from
+    the smaller side)."""
+    if len(a) > len(b):
+        a, b = b, a
+    mask, _ = _member_mask(a, b)
+    return a[mask]
+
+
 def _intersect_add(ids_a, sc_a, ids_b, sc_b):
-    common, ia, ib = np.intersect1d(ids_a, ids_b, assume_unique=True, return_indices=True)
-    return common, sc_a[ia] + sc_b[ib]
+    if len(ids_a) == 0 or len(ids_b) == 0:
+        return _EMPTY, _EMPTY
+    if len(ids_a) <= len(ids_b):
+        mask, idx = _member_mask(ids_a, ids_b)
+        return ids_a[mask], sc_a[mask] + sc_b[idx[mask]]
+    mask, idx = _member_mask(ids_b, ids_a)
+    return ids_b[mask], sc_b[mask] + sc_a[idx[mask]]
 
 
 def _andnot(ids_a, sc_a, ids_not):
     if len(ids_not) == 0 or len(ids_a) == 0:
         return ids_a, sc_a
-    mask = ~np.isin(ids_a, ids_not, assume_unique=True)
-    return ids_a[mask], sc_a[mask]
+    mask, _ = _member_mask(ids_a, ids_not)
+    return ids_a[~mask], sc_a[~mask]
 
 
 def _kth_score(scores: np.ndarray, k: int) -> float:
@@ -1074,6 +1219,9 @@ class _Evaluator:
         #: construct key -> sorted term_ids present in THIS group (from the
         #: distributed expansion tags riding the eval shuffle)
         self.construct_tids: dict[str, list[int]] = {}
+        #: optional decode-cost counters (set by eval_group under
+        #: SPARK_GRAFT_EVAL_TRACE) — None in normal operation, zero cost
+        self.stats: dict | None = None
 
     def _term_by_id(self, tid: int) -> _TermData | None:
         """Decode-cache lookup by numeric term_id (distributed expansions
@@ -1087,7 +1235,19 @@ class _Evaluator:
     def _decode(self, rows: pd.DataFrame) -> _TermData:
         """Decode + tombstone-filter one term's blocks (all decode paths
         come through here so dead ords can never reach scoring or top-k)."""
-        td = _decode_rows(rows, self.needs_pos)
+        if self.stats is not None:
+            import time as _t
+
+            _s = _t.perf_counter()
+            td = _decode_rows(rows, self.needs_pos)
+            self.stats["decode_s"] += _t.perf_counter() - _s
+            self.stats["n_decoded"] += 1
+            self.stats["decoded_postings"] += len(td.ids)
+            if td.has_pos:
+                self.stats["n_pos_carried"] += 1
+            td.stats = self.stats
+        else:
+            td = _decode_rows(rows, self.needs_pos)
         dead = self.dead
         if dead is None or len(td.ids) == 0:
             return td
@@ -1096,17 +1256,26 @@ class _Evaluator:
         if not hit.any():
             return td
         keep = ~hit
-        po, pf = td.pos_offsets, td.pos_flat
-        if po is not None:
+        # positions stay LAZY through the tombstone filter: the raw stream
+        # + full tfs + keep mask ride along and the deferred decode applies
+        # the mask itself.  Already-eager po/pf (external constructors,
+        # e.g. the streaming batch path) filter here as before.
+        po = pf = None
+        if td._po is not None:
             from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
                 _ragged_gather,
             )
 
-            lens = np.diff(po)
+            lens = np.diff(td._po)
             klens = lens[keep]
-            pf = pf[_ragged_gather(po[:-1][keep], klens.astype(np.int64))]
+            pf = td._pf[_ragged_gather(td._po[:-1][keep], klens.astype(np.int64))]
             po = np.concatenate([[0], np.cumsum(klens)]).astype(np.int64)
-        return _TermData(td.ids[keep], td.tfs[keep], po, pf)
+        out = _TermData(
+            td.ids[keep], td.tfs[keep], po, pf,
+            pos_raw=td._raw, full_tfs=td._full_tfs, keep=keep,
+        )
+        out.stats = td.stats
+        return out
 
     def _dls(self, field: str, ids: np.ndarray) -> np.ndarray:
         """Per-doc lengths of ``field`` for the given ords (norms lookup)."""
@@ -1216,11 +1385,9 @@ class _Evaluator:
                         cj, acc_ids, float(acc_sc.max()), rest, theta
                     )
                     if len(cids):
-                        common, ia, ib = np.intersect1d(
-                            acc_ids, cids, assume_unique=True, return_indices=True
-                        )
+                        mask, idx = _member_mask(cids, acc_ids)
                         acc_sc = acc_sc.copy()
-                        acc_sc[ia] += csc[ib]
+                        acc_sc[idx[mask]] += csc[mask]
                     rest -= ub_j
                 break
             cids, csc = self.eval(c)
@@ -1279,28 +1446,33 @@ class _Evaluator:
                 return _EMPTY, _EMPTY
             return td.ids, self._score_term(td, node.field, node.term)
         if isinstance(node, qp.OrTermsNode):
-            ids, sc = _EMPTY, _EMPTY
-            for t in node.terms:
-                td = self._term(node.field, t)
-                if td is None:
-                    continue
-                ids, sc = _union_add(ids, sc, td.ids, self._score_term(td, node.field, t))
-            return ids, sc
+            return _union_add_many(
+                [
+                    (td.ids, self._score_term(td, node.field, t))
+                    for t in node.terms
+                    if (td := self._term(node.field, t)) is not None
+                ]
+            )
         if isinstance(node, ExpandedTermsNode):
-            ids = _EMPTY
             if node.terms is None:
                 # distributed expansion: the group's rows tagged with this
                 # construct key ARE the expansion (terms never enumerated
                 # driver-side); constant-score union over their postings
-                for tid in self.construct_tids.get(node.key, ()):
-                    td = self._term_by_id(tid)
-                    if td is not None:
-                        ids = np.union1d(ids, td.ids)
+                ids = _union_ids_many(
+                    [
+                        td.ids
+                        for tid in self.construct_tids.get(node.key, ())
+                        if (td := self._term_by_id(tid)) is not None
+                    ]
+                )
                 return ids, np.ones(len(ids))
-            for t in node.terms:
-                td = self._term(node.field, t)
-                if td is not None:
-                    ids = np.union1d(ids, td.ids)
+            ids = _union_ids_many(
+                [
+                    td.ids
+                    for t in node.terms
+                    if (td := self._term(node.field, t)) is not None
+                ]
+            )
             return ids, np.ones(len(ids))
         if isinstance(node, VirtualDocsNode):
             td = self._term(VIRTUAL_FIELD, node.key)
@@ -1308,15 +1480,13 @@ class _Evaluator:
                 return _EMPTY, _EMPTY
             return td.ids, np.ones(len(td.ids))
         if isinstance(node, ExpandedFuzzyNode):
-            ids, sc = _EMPTY, np.empty(0)
-            for t, boost in zip(node.terms, node.boosts):
-                td = self._term(node.field, t)
-                if td is None:
-                    continue
-                ids, sc = _union_add(
-                    ids, sc, td.ids, boost * self._score_term(td, node.field, t)
-                )
-            return ids, sc
+            return _union_add_many(
+                [
+                    (td.ids, boost * self._score_term(td, node.field, t))
+                    for t, boost in zip(node.terms, node.boosts)
+                    if (td := self._term(node.field, t)) is not None
+                ]
+            )
         if isinstance(node, qp.DisMaxNode):
             return self._eval_dismax(node)
         if isinstance(node, qp.BoostNode):
@@ -1332,26 +1502,23 @@ class _Evaluator:
         """Union of children; per-doc score ``(1-t)*max + t*sum`` — the
         dis-max combination ``max + tie_breaker*(sum of the rest)``."""
         t = node.tie_breaker
-        ids, mx, sm = _EMPTY, np.empty(0), np.empty(0)
-        for child in node.children:
-            cids, csc = self.eval(child)
-            if len(cids) == 0:
-                continue
-            if len(ids) == 0:
-                ids, mx, sm = cids, csc.astype(np.float64), csc.astype(np.float64)
-                continue
-            merged = np.union1d(ids, cids)
-            mx2 = np.full(len(merged), -np.inf)
-            sm2 = np.zeros(len(merged))
-            ia = np.searchsorted(merged, ids)
-            mx2[ia] = mx
-            sm2[ia] = sm
-            ib = np.searchsorted(merged, cids)
-            mx2[ib] = np.maximum(mx2[ib], csc)
-            sm2[ib] += csc
-            ids, mx, sm = merged, mx2, sm2
-        if len(ids) == 0:
+        parts = [
+            (cids, csc)
+            for cids, csc in (self.eval(c) for c in node.children)
+            if len(cids)
+        ]
+        if not parts:
             return _EMPTY, _EMPTY
+        if len(parts) == 1:
+            return parts[0][0], parts[0][1].astype(np.float64)
+        # one-shot union: per-doc max via ufunc.at, sum via bincount (a doc
+        # appears at most once per child, so the per-child semantics hold)
+        allids = np.concatenate([i for i, _ in parts])
+        allsc = np.concatenate([s for _, s in parts]).astype(np.float64)
+        ids, inverse = np.unique(allids, return_inverse=True)
+        sm = np.bincount(inverse, weights=allsc, minlength=len(ids))
+        mx = np.full(len(ids), -np.inf)
+        np.maximum.at(mx, inverse, allsc)
         return ids, (1.0 - t) * mx + t * sm
 
     # adjusted positions are packed into the low 32 key bits with this
@@ -1395,7 +1562,93 @@ class _Evaluator:
             return k
         return np.unique(np.concatenate(parts))
 
+    def _eval_phrase_bool(
+        self, node: qp.PhraseNode
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Match-only phrase evaluation over CACHED per-(term, slot)
+        occurrence-key arrays (_TermData.adj_keys): an exact phrase is one
+        sorted-intersection chain, a sloppy phrase one searchsorted window
+        test per slot — no per-phrase candidate gather, no per-doc python
+        loop, and terms shared across phrases amortize their key build.
+        A docid-level pregate keeps the lazy position decode: slots whose
+        docid intersection is already empty never force it."""
+        slot_tds: list[list[_TermData]] = []
+        cand = None
+        for slot in node.slots:
+            tds = [
+                td
+                for t in slot
+                if (td := self._term(node.field, t)) is not None
+            ]
+            if not tds:
+                return _EMPTY, _EMPTY
+            for td in tds:
+                if not td.has_pos:
+                    raise RuntimeError(
+                        "phrase term arrived without positions — posdata "
+                        "gating dropped a stream the evaluator needs"
+                    )
+            slot_tds.append(tds)
+        # docid pregate ONLY while some slot term's positions are still
+        # undecoded: it exists to protect the lazy decode, and once every
+        # term is materialized (terms shared across phrases decode once)
+        # the smallest-first key intersection below is its own gate
+        if any(td._po is None for tds in slot_tds for td in tds):
+            for tds in slot_tds:
+                slot_ids = (
+                    tds[0].ids
+                    if len(tds) == 1
+                    else _union_ids_many([td.ids for td in tds])
+                )
+                cand = (
+                    slot_ids
+                    if cand is None
+                    else _intersect_sorted(cand, slot_ids)
+                )
+                if len(cand) == 0:
+                    return _EMPTY, _EMPTY
+        off = self._POS_OFF
+        slot_arrs = []
+        for si, tds in enumerate(slot_tds):
+            arrs = [td.adj_keys(si, off) for td in tds]
+            a = arrs[0] if len(arrs) == 1 else _union_ids_many(arrs)
+            if not len(a):
+                return _EMPTY, _EMPTY
+            slot_arrs.append(a)
+        if node.slop <= 0:
+            # smallest-first intersection chain over absolute keys
+            order = np.argsort([len(a) for a in slot_arrs])
+            acc = slot_arrs[order[0]]
+            for oi in order[1:]:
+                if not len(acc):
+                    return _EMPTY, _EMPTY
+                acc = _intersect_sorted(acc, slot_arrs[oi])
+            hits = acc
+        else:
+            # existence: some occurrence x (window minimum) has every slot
+            # within [x, x+slop]; keys embed the ord in the high 32 bits
+            # and slop < _POS_OFF, so windows never cross docs
+            xs = (
+                slot_arrs[0]
+                if len(slot_arrs) == 1
+                else _union_ids_many(slot_arrs)
+            )
+            ok = np.ones(len(xs), dtype=bool)
+            for keys in slot_arrs:
+                ok &= np.searchsorted(keys, xs + node.slop + 1) > np.searchsorted(
+                    keys, xs
+                )
+            hits = xs[ok]
+        if not len(hits):
+            return _EMPTY, _EMPTY
+        docs = hits >> 32
+        if len(docs) > 1:
+            docs = docs[np.concatenate(([True], docs[1:] != docs[:-1]))]
+        return docs, np.zeros(len(docs))
+
     def _eval_phrase(self, node: qp.PhraseNode) -> tuple[np.ndarray, np.ndarray]:
+        if not self.scored:
+            return self._eval_phrase_bool(node)
         # candidate docs: intersection over slots of (union of slot terms)
         slot_tds: list[list[_TermData]] = []
         cand = None
@@ -1404,17 +1657,21 @@ class _Evaluator:
             if not tds:
                 return _EMPTY, _EMPTY
             for td in tds:
-                if td.pos_offsets is None:
+                if not td.has_pos:  # cheap check — does NOT force decode
                     raise RuntimeError(
                         "phrase term arrived without positions — posdata "
                         "gating dropped a stream the evaluator needs"
                     )
-            slot_ids = tds[0].ids if len(tds) == 1 else np.union1d(
-                tds[0].ids, tds[1].ids
+            slot_ids = (
+                tds[0].ids
+                if len(tds) == 1
+                else _union_ids_many([td.ids for td in tds])
             )
-            for td in tds[2:]:
-                slot_ids = np.union1d(slot_ids, td.ids)
-            cand = slot_ids if cand is None else np.intersect1d(cand, slot_ids, assume_unique=True)
+            cand = (
+                slot_ids
+                if cand is None
+                else _intersect_sorted(cand, slot_ids)
+            )
             if len(cand) == 0:
                 return _EMPTY, _EMPTY
             slot_tds.append(tds)
@@ -1427,13 +1684,14 @@ class _Evaluator:
             for keys in slot_keys[1:]:
                 if not len(acc):
                     break
-                acc = np.intersect1d(acc, keys, assume_unique=True)
+                acc = _intersect_sorted(acc, keys)
             freqs = np.bincount(
                 (acc >> 32).astype(np.int64), minlength=len(cand)
             ).astype(np.float64)
         else:
-            # sloppy: per-doc advance-min window algorithm; per-doc slices
-            # come from two vectorized searchsorteds per slot
+            # sloppy scored: per-doc advance-min window algorithm; per-doc
+            # slices come from two vectorized searchsorteds per slot
+            # (match-only evaluation never reaches here — _eval_phrase_bool)
             freqs = np.zeros(len(cand))
             ranges = np.arange(len(cand) + 1, dtype=np.int64) << 32
             bounds = [
@@ -1481,20 +1739,16 @@ class _Evaluator:
             # before any top-k cut (the reference's Must/Filter split)
             for child in filters:
                 fids, _ = self.eval(child)
-                common, ia, _ib = np.intersect1d(
-                    ids, fids, assume_unique=True, return_indices=True
-                )
-                ids, sc = common, sc[ia]
+                mask, _ = _member_mask(ids, fids)
+                ids, sc = ids[mask], sc[mask]
                 if len(ids) == 0:
                     return _EMPTY, _EMPTY
             # SHOULD only adds score on the MUST-filtered set
             for child in should:
                 cids, csc = self.eval(child)
-                common, ia, ib = np.intersect1d(
-                    ids, cids, assume_unique=True, return_indices=True
-                )
+                mask, idx = _member_mask(cids, ids)
                 sc = sc.copy()
-                sc[ia] += csc[ib]
+                sc[idx[mask]] += csc[mask]
         elif filters:
             # filter-context candidates (constant sets, no score); SHOULDs
             # become optional scorers — minimum_should_match defaults to 0
@@ -1502,22 +1756,18 @@ class _Evaluator:
             ids, _ = self.eval(filters[0])
             for child in filters[1:]:
                 fids, _ = self.eval(child)
-                ids = np.intersect1d(ids, fids, assume_unique=True)
+                ids = _intersect_sorted(ids, fids)
                 if len(ids) == 0:
                     return _EMPTY, _EMPTY
             sc = np.zeros(len(ids))
             for child in should:
                 cids, csc = self.eval(child)
-                common, ia, ib = np.intersect1d(
-                    ids, cids, assume_unique=True, return_indices=True
-                )
+                mask, idx = _member_mask(cids, ids)
                 sc = sc.copy()
-                sc[ia] += csc[ib]
+                sc[idx[mask]] += csc[mask]
         elif should:
-            ids, sc = _EMPTY, _EMPTY
-            for child in should:
-                cids, csc = self.eval(child)
-                ids, sc = _union_add(ids, sc, cids, csc)
+            # one-shot union over ALL should clauses (see _union_add_many)
+            ids, sc = _union_add_many([self.eval(child) for child in should])
         else:
             return _EMPTY, _EMPTY  # pure negative matches nothing
         for child in must_not:
@@ -1855,6 +2105,12 @@ def run_categories(
         _trace = _os.environ.get("SPARK_GRAFT_EVAL_TRACE") == "1"
         _t0 = _time.perf_counter()
         chunk, band = int(key[0]), int(key[1])
+        _dumpdir = _os.environ.get("SPARK_GRAFT_EVAL_DUMP")
+        if _dumpdir:  # diagnostic: replay one group in tools/kernel_bench.py
+            try:
+                pdf.to_parquet(f"{_dumpdir}/group_{chunk}_{band}.parquet")
+            except Exception:
+                pass
         cids = chunk_cids_b.value[chunk]
         nodes = {cid: compiled_b.value[cid] for cid in cids}
         needs_pos = any(_node_has_phrase(n) for n in nodes.values())
@@ -1902,8 +2158,16 @@ def run_categories(
             ev.construct_tids = {k: sorted(v) for k, v in cmap.items()}
         tid_map = tid_map_b.value
         n_by_term = {t: int(rows["n"].sum()) for t, rows in rows_by_term.items()}
+        if _trace:
+            ev.stats = {
+                "decode_s": 0.0, "n_decoded": 0, "decoded_postings": 0,
+                "n_pos_carried": 0, "pos_decode_s": 0.0,
+                "n_pos_decoded": 0, "pos_ints": 0,
+            }
+        cid_walls: dict[str, float] = {}
         frames = []
         for cid in cids:
+            _tc = _time.perf_counter() if _trace else 0.0
             node = nodes[cid]
             group_postings = sum(
                 n_by_term.get(tid_map.get(key), 0) for key in needed_terms(node)
@@ -1924,10 +2188,15 @@ def run_categories(
             if top_k is not None and len(ids) > top_k:
                 ids, sc = _partial_topk(ids, sc, top_k)
             frames.append(pd.DataFrame({"category_id": cid, "doc_id": ids, "score": sc}))
+            if _trace:
+                cid_walls[cid] = _time.perf_counter() - _tc
         if _trace:
+            top = sorted(cid_walls.items(), key=lambda kv: -kv[1])[:8]
             print(
                 f"EVAL_TRACE chunk={chunk} band={band} rows={len(pdf)} "
-                f"n_cids={len(cids)} wall={_time.perf_counter() - _t0:.3f}",
+                f"n_cids={len(cids)} wall={_time.perf_counter() - _t0:.3f} "
+                f"stats={ev.stats} "
+                f"top_cids={[(c, round(w, 3)) for c, w in top]}",
                 flush=True,
             )
         return pd.concat(frames, ignore_index=True)

@@ -27,7 +27,10 @@ from pathlib import Path
 
 
 def make_spark(
-    cpus: str = "*", shuffle_partitions: int | None = None, driver_memory: str = "48g"
+    cpus: str = "*",
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "48g",
+    extra_conf: dict[str, str] | None = None,
 ):
     # Python workers must be able to import this package even when the
     # driver script runs from another cwd with a bare sys.path insert
@@ -75,6 +78,8 @@ def make_spark(
     )
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
     # file scans must not cap map parallelism below the cluster: default
     # 128 MB bin-packing folded the ~64-file staging table into ~16 input
     # splits, capping the dictionary agg and the postings job's map side at

@@ -165,3 +165,103 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         f.setframerate(int(rate))
         f.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# -- Y4M (YUV4MPEG2) video ---------------------------------------------------
+# The one video container simple enough to vendor honestly: a plain-text
+# stream header ("YUV4MPEG2 W.. H.. F.. [C..]\n") followed by "FRAME\n" +
+# raw planar YUV per frame (https://wiki.multimedia.cx/index.php/YUV4MPEG2).
+# Supported colorspaces: C420 family (C420, C420jpeg, C420mpeg2, C420paldv
+# — all 2x2-subsampled chroma; the inter-sample siting differences don't
+# change the plane layout), C444, and Cmono.  Frames return as uint8
+# (h, w, 3) RGB24 via the BT.601 limited-range matrix (the ffmpeg
+# yuv420p -> rgb24 default), matching av's to_ndarray(format="rgb24").
+
+Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    yf = (y.astype(np.float64) - 16.0) * (255.0 / 219.0)
+    uf = u.astype(np.float64) - 128.0
+    vf = v.astype(np.float64) - 128.0
+    r = yf + 1.596027 * vf
+    g = yf - 0.391762 * uf - 0.812968 * vf
+    b = yf + 2.017232 * uf
+    return (
+        np.stack([r, g, b], axis=-1).round().clip(0, 255).astype(np.uint8)
+    )
+
+
+def decode_y4m(data: bytes) -> list[np.ndarray]:
+    """Y4M bytes -> list of uint8 (h, w, 3) RGB24 frames."""
+    if data[: len(Y4M_MAGIC)] != Y4M_MAGIC:
+        raise ValueError("not a Y4M stream (bad signature)")
+    nl = data.index(b"\n")
+    header = data[:nl].decode("ascii", errors="replace").split(" ")
+    w = h = None
+    cs = "420jpeg"  # spec default when no C tag is present
+    for tag in header[1:]:
+        if not tag:
+            continue
+        if tag[0] == "W":
+            w = int(tag[1:])
+        elif tag[0] == "H":
+            h = int(tag[1:])
+        elif tag[0] == "C":
+            cs = tag[1:]
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if cs.startswith("420"):
+        cw, chh = (w + 1) // 2, (h + 1) // 2
+        up = lambda p: p.repeat(2, axis=0)[:h].repeat(2, axis=1)[:, :w]  # noqa: E731
+    elif cs == "444":
+        cw, chh = w, h
+        up = lambda p: p  # noqa: E731
+    elif cs == "mono":
+        cw = chh = 0
+        up = None
+    else:
+        raise NotImplementedError(f"Y4M colorspace C{cs} not supported")
+    ysz, csz = w * h, cw * chh
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M: FRAME marker expected")
+        pos = fnl + 1
+        y = np.frombuffer(data, np.uint8, ysz, pos).reshape(h, w)
+        pos += ysz
+        if csz:
+            u = np.frombuffer(data, np.uint8, csz, pos).reshape(chh, cw)
+            pos += csz
+            v = np.frombuffer(data, np.uint8, csz, pos).reshape(chh, cw)
+            pos += csz
+            frames.append(_yuv_to_rgb(y, up(u), up(v)))
+        else:
+            frames.append(
+                _yuv_to_rgb(y, np.full((h, w), 128.0), np.full((h, w), 128.0))
+            )
+    return frames
+
+
+def encode_y4m(
+    yuv_frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    fps: tuple[int, int] = (25, 1),
+    colorspace: str = "420jpeg",
+) -> bytes:
+    """Planar YUV frames (y, u, v uint8 arrays; u/v pre-subsampled for 420)
+    -> Y4M bytes.  Test/fixture twin of decode_y4m."""
+    y0 = yuv_frames[0][0]
+    h, w = y0.shape
+    out = [
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 "
+        f"C{colorspace}\n".encode()
+    ]
+    for y, u, v in yuv_frames:
+        out.append(b"FRAME\n")
+        out.append(np.ascontiguousarray(y, np.uint8).tobytes())
+        if colorspace != "mono":
+            out.append(np.ascontiguousarray(u, np.uint8).tobytes())
+            out.append(np.ascontiguousarray(v, np.uint8).tobytes())
+    return b"".join(out)

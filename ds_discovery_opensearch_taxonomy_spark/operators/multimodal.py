@@ -52,6 +52,7 @@ def media_support() -> dict[str, bool]:
         "video": _av is not None,
         "image_png_builtin": True,
         "audio_wav_builtin": True,
+        "video_y4m_builtin": True,
     }
 
 ASSET_SCHEMA = T.StructType(
@@ -131,18 +132,21 @@ def decode_payload(kind: str, payload: bytes):
             return np.asarray(data), int(rate)
         if payload[:4] == _mm.WAV_MAGIC:
             return _mm.decode_wav(payload)
-    if kind == "video" and _av is not None:
-        with _av.open(io.BytesIO(payload)) as container:
-            return [
-                f.to_ndarray(format="rgb24")
-                for f in container.decode(video=0)
-            ]
+    if kind == "video":
+        if _av is not None:
+            with _av.open(io.BytesIO(payload)) as container:
+                return [
+                    f.to_ndarray(format="rgb24")
+                    for f in container.decode(video=0)
+                ]
+        if payload[: len(_mm.Y4M_MAGIC)] == _mm.Y4M_MAGIC:
+            return _mm.decode_y4m(payload)
     raise NotImplementedError(
         f"STUB: decoding this {kind} payload requires an optional media "
         f"library (PIL/soundfile/av) not present in this environment — "
-        f"only PNG images and PCM-WAV audio decode via the vendored "
-        f"pure-Python codecs (plumbing is real; install the lib for "
-        f"other formats)"
+        f"only PNG images, PCM-WAV audio and Y4M video decode via the "
+        f"vendored pure-Python codecs (plumbing is real; install the lib "
+        f"for other formats)"
     )
 
 
@@ -222,24 +226,27 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
 
 def sample_frames(assets: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling (every ``every_n``-th frame re-encoded as PNG
-    rows): REAL when ``av`` AND PIL are importable, the declared stub
-    otherwise — same contract as resize_images."""
+    rows): REAL via av+PIL when importable, and via the vendored Y4M
+    decoder + PNG encoder (functions/minimedia.py) for YUV4MPEG2 payloads
+    everywhere else; other containers raise the declared stub through
+    decode_payload."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _av is None or _PIL_Image is None:
-                for kind in pdf["kind"]:
-                    decode_payload(str(kind), b"")  # raises the stub marker
             rows: dict[str, list] = {"asset_id": [], "kind": [], "payload": []}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 for i, frame in enumerate(decode_payload("video", payload)):
                     if i % every_n:
                         continue
-                    buf = io.BytesIO()
-                    _PIL_Image.fromarray(frame).save(buf, format="PNG")
+                    if _PIL_Image is not None:
+                        buf = io.BytesIO()
+                        _PIL_Image.fromarray(frame).save(buf, format="PNG")
+                        png = buf.getvalue()
+                    else:
+                        png = _mm.encode_png(frame)
                     rows["asset_id"].append(aid)
                     rows["kind"].append("image")
-                    rows["payload"].append(buf.getvalue())
+                    rows["payload"].append(png)
             yield pd.DataFrame(rows)
 
     return assets.where(F.col("kind") == "video").select(

@@ -661,14 +661,30 @@ def compile_queries(
         patterns |= qp.collect_patterns(node)
         ranges |= qp.collect_term_ranges(node)
         fuzzies |= qp.collect_fuzzy(node)
-    df_map, bucket_map, tid_map, fuzzy_map = reader.lookup_dictionary(
-        exact, fuzzies
-    )
     constructs: set[qp.Node] = {
         qp.WildcardNode(f, p) for f, p in patterns
     } | set(ranges)
-    if constructs:
-        reader.expand_constructs(constructs, config)
+    if constructs and (exact or fuzzies):
+        # the exact/fuzzy lookup job and the construct-expansion job are
+        # independent scans of the same persisted dictionary — submit them
+        # CONCURRENTLY (Spark schedules both) instead of paying two
+        # sequential job walls; cold compile is job-count-bound.
+        # Materialize the lazy dictionary handle first so the threads
+        # don't race its persist initialization.
+        from concurrent.futures import ThreadPoolExecutor
+
+        reader.dictionary()
+        with ThreadPoolExecutor(max_workers=2) as _ex:
+            _f_lookup = _ex.submit(reader.lookup_dictionary, exact, fuzzies)
+            _f_exp = _ex.submit(reader.expand_constructs, constructs, config)
+            df_map, bucket_map, tid_map, fuzzy_map = _f_lookup.result()
+            _f_exp.result()
+    else:
+        df_map, bucket_map, tid_map, fuzzy_map = reader.lookup_dictionary(
+            exact, fuzzies
+        )
+        if constructs:
+            reader.expand_constructs(constructs, config)
 
     #: key -> original metadata clause; doc sets are NOT resolved here —
     #: they materialize distributed at evaluation time (build_virtual_blocks)
@@ -1675,43 +1691,67 @@ class _Evaluator:
             if len(cand) == 0:
                 return _EMPTY, _EMPTY
             slot_tds.append(tds)
+        if node.slop <= 0:
+            # exact scored: the SAME cached per-(term, slot) key chain as
+            # the bool path; per-doc phrase freqs are the run lengths of
+            # the doc component of the surviving alignment keys
+            off = self._POS_OFF
+            slot_arrs = []
+            for si, tds in enumerate(slot_tds):
+                arrs = [td.adj_keys(si, off) for td in tds]
+                a = arrs[0] if len(arrs) == 1 else _union_ids_many(arrs)
+                if not len(a):
+                    return _EMPTY, _EMPTY
+                slot_arrs.append(a)
+            order = np.argsort([len(a) for a in slot_arrs])
+            acc = slot_arrs[order[0]]
+            for oi in order[1:]:
+                if not len(acc):
+                    return _EMPTY, _EMPTY
+                acc = _intersect_sorted(acc, slot_arrs[oi])
+            if not len(acc):
+                return _EMPTY, _EMPTY
+            docs_all = acc >> 32
+            bnd = np.concatenate(([True], docs_all[1:] != docs_all[:-1]))
+            starts = np.flatnonzero(bnd)
+            ids = docs_all[starts]
+            freqs_hit = np.diff(
+                np.append(starts, len(docs_all))
+            ).astype(np.float64)
+            idf_sum = sum(
+                self._idf(node.field, t)
+                for slot in node.slots
+                for t in slot
+            )
+            sc = idf_sum * scoring.tf_norm(
+                freqs_hit, self._dls(node.field, ids),
+                self.avgdl[node.field], self.k1, self.b,
+            )
+            return ids, sc
+        # sloppy scored: per-doc advance-min window algorithm; per-doc
+        # slices come from two vectorized searchsorteds per slot
+        # (match-only evaluation never reaches here — _eval_phrase_bool)
         slot_keys = [
             self._slot_keys(tds, si, cand) for si, tds in enumerate(slot_tds)
         ]
-        if node.slop <= 0:
-            # exact: one sorted-set intersection chain over (doc, pos) keys
-            acc = slot_keys[0]
-            for keys in slot_keys[1:]:
-                if not len(acc):
+        freqs = np.zeros(len(cand))
+        ranges = np.arange(len(cand) + 1, dtype=np.int64) << 32
+        bounds = [
+            (keys, np.searchsorted(keys, ranges[:-1]), np.searchsorted(keys, ranges[1:]))
+            for keys in slot_keys
+        ]
+        mask32 = np.int64(0xFFFFFFFF)
+        for ci in range(len(cand)):
+            slot_positions = []
+            for keys, lo, hi in bounds:
+                if hi[ci] <= lo[ci]:
+                    slot_positions = None
                     break
-                acc = _intersect_sorted(acc, keys)
-            freqs = np.bincount(
-                (acc >> 32).astype(np.int64), minlength=len(cand)
-            ).astype(np.float64)
-        else:
-            # sloppy scored: per-doc advance-min window algorithm; per-doc
-            # slices come from two vectorized searchsorteds per slot
-            # (match-only evaluation never reaches here — _eval_phrase_bool)
-            freqs = np.zeros(len(cand))
-            ranges = np.arange(len(cand) + 1, dtype=np.int64) << 32
-            bounds = [
-                (keys, np.searchsorted(keys, ranges[:-1]), np.searchsorted(keys, ranges[1:]))
-                for keys in slot_keys
-            ]
-            mask32 = np.int64(0xFFFFFFFF)
-            for ci in range(len(cand)):
-                slot_positions = []
-                for keys, lo, hi in bounds:
-                    if hi[ci] <= lo[ci]:
-                        slot_positions = None
-                        break
-                    slot_positions.append(keys[lo[ci]:hi[ci]] & mask32)
-                if slot_positions is not None:
-                    freqs[ci] = scoring.phrase_freq(slot_positions, node.slop)
+                slot_positions.append(keys[lo[ci]:hi[ci]] & mask32)
+            if slot_positions is not None:
+                freqs[ci] = scoring.phrase_freq(slot_positions, node.slop)
         hit = freqs > 0
         ids = cand[hit]
-        if not self.scored:
-            return ids, np.zeros(len(ids))
         idf_sum = sum(
             self._idf(node.field, t) for slot in node.slots for t in slot
         )

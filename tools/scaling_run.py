@@ -173,19 +173,27 @@ def main() -> int:
         s4, s16 = samples_by[4][-1], samples_by[16][-1]
         t4 = s4["queries"]["index_build"]
         t16 = s16["queries"]["index_build"]
+        sc4 = s4["queries"].get("categorise_136_scored_top100")
+        sc16 = s16["queries"].get("categorise_136_scored_top100")
         pairs.append(
             {
                 "t4_build": t4,
                 "t16_build": t16,
                 "pair_eff_build": round((t4 / t16) / 4.0, 3),
-                "pair_eff_scored": round(
-                    (
-                        s4["queries"]["categorise_136_scored_top100"]
-                        / s16["queries"]["categorise_136_scored_top100"]
-                    )
-                    / 4.0,
-                    3,
+                "pair_eff_scored": (
+                    round((sc4 / sc16) / 4.0, 3) if sc4 and sc16 else None
                 ),
+                # in-window load sentinels (1-min loadavg at each sample's
+                # start and at end-of-build): a 4c sample whose load rose
+                # mid-run was externally slowed — its pair reads too HIGH
+                "load_4": [
+                    s4.get("loadavg_start", [None])[0],
+                    s4.get("loadavg_after_build", [None])[0],
+                ],
+                "load_16": [
+                    s16.get("loadavg_start", [None])[0],
+                    s16.get("loadavg_after_build", [None])[0],
+                ],
                 # pure-CPU axis (back-compat key) + the DRAM axis the
                 # build's tokenize/merge stages actually live under
                 "pair_ceiling": ceil["cpu"],
@@ -218,17 +226,22 @@ def main() -> int:
     }
     for cpus in (4, 16):
         samples = samples_by[cpus]
-        med = lambda k: statistics.median(s[k] for s in samples)  # noqa: E731
+        med = lambda k: (  # noqa: E731
+            statistics.median(s[k] for s in samples)
+            if all(k in s for s in samples)
+            else None
+        )
+        medq = lambda k: (  # noqa: E731
+            statistics.median(s["queries"][k] for s in samples)
+            if all(k in s["queries"] for s in samples)
+            else None
+        )
         report["levels"][str(cpus)] = {
-            "index_build_sec_median": statistics.median(
-                s["queries"]["index_build"] for s in samples
-            ),
+            "index_build_sec_median": medq("index_build"),
             "index_build_docs_per_sec_median": med("index_build_docs_per_sec"),
-            "categorise_136_bool_sec_median": statistics.median(
-                s["queries"]["categorise_136_bool"] for s in samples
-            ),
-            "categorise_136_scored_sec_median": statistics.median(
-                s["queries"]["categorise_136_scored_top100"] for s in samples
+            "categorise_136_bool_sec_median": medq("categorise_136_bool"),
+            "categorise_136_scored_sec_median": medq(
+                "categorise_136_scored_top100"
             ),
             "query_p50_sec_median": med("query_p50_sec"),
             "query_p95_sec_median": med("query_p95_sec"),
@@ -239,7 +252,9 @@ def main() -> int:
     report["scaling_efficiency_index_build"] = round((t_n / t_4n) / 4.0, 3)
     tq_n = report["levels"]["4"]["categorise_136_scored_sec_median"]
     tq_4n = report["levels"]["16"]["categorise_136_scored_sec_median"]
-    report["scaling_efficiency_query"] = round((tq_n / tq_4n) / 4.0, 3)
+    report["scaling_efficiency_query"] = (
+        round((tq_n / tq_4n) / 4.0, 3) if tq_n and tq_4n else None
+    )
     Path(REPO / ".scratch").mkdir(exist_ok=True)
     (REPO / ".scratch" / "scaling.json").write_text(json.dumps(report, indent=1))
     print(json.dumps(report))

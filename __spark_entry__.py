@@ -401,6 +401,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return feats.select("asset_id", "byte_entropy")
 
+    def q_video_frame_sample(spark, sf):
+        """Vendored Y4M video decode through the FULL Spark path: a
+        deterministic Y4M clip per document (n_frames = 3 + doc_id % 5,
+        12x8 frames), sampled every 2nd frame via
+        operators.multimodal.sample_frames (decode -> select -> PNG
+        re-encode inside mapInPandas).  Returns per-asset sampled-frame
+        counts, which the DuckDB oracle recomputes arithmetically — so the
+        video decode path is VALUE-verified, not rows-only."""
+        import pandas as _pd
+
+        from ds_discovery_opensearch_taxonomy_spark.functions import (
+            minimedia as _mm,
+        )
+
+        docs = _docs(spark, sf).select("doc_id").orderBy("doc_id").limit(24)
+
+        def gen(batches):
+            import numpy as _np
+
+            for pdf in batches:
+                payloads = []
+                for did in pdf["doc_id"]:
+                    n = 3 + int(did) % 5
+                    frames = []
+                    for i in range(n):
+                        y = _np.full(
+                            (8, 12), 16 + (int(did) + 31 * i) % 220, _np.uint8
+                        )
+                        u = _np.full((4, 6), 128, _np.uint8)
+                        frames.append((y, u, u.copy()))
+                    payloads.append(_mm.encode_y4m(frames))
+                yield _pd.DataFrame(
+                    {
+                        "asset_id": pdf["doc_id"],
+                        "kind": "video",
+                        "payload": payloads,
+                    }
+                )
+
+        assets = docs.mapInPandas(
+            gen, "asset_id long, kind string, payload binary"
+        )
+        sampled = multimodal.sample_frames(assets, every_n=2)
+        return sampled.groupBy("asset_id").agg(
+            F.count("*").alias("n_sampled")
+        )
+
     def q_wildcard_overlap(spark, sf):
         # OVERLAPPING patterns compiled in one pooled batch across several
         # categories (regression: first-match expansion dropped terms)
@@ -621,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_multimodal": q_multimodal,
         "q_multimodal_features": q_multimodal_features,
+        "q_video_frame_sample": q_video_frame_sample,
         "q_wildcard_overlap": q_wildcard_overlap,
         "q_field_scoped": q_field_scoped,
         "q_numeric_range_wide": q_numeric_range_wide,
@@ -992,6 +1040,14 @@ WITH d2 AS (
                    ['text','image','audio','video'][(doc_id % 4) + 1] AS kind,
                    octet_length(encode(text))::BIGINT AS n_bytes
             FROM documents
+        """,
+        "q_video_frame_sample": """
+            -- the Spark side DECODES each synthesized Y4M clip and counts
+            -- its sampled frames; the oracle recomputes the expected count
+            -- arithmetically (frames 0,2,4,... of n = 3 + doc_id % 5)
+            SELECT doc_id AS asset_id,
+                   CAST((3 + doc_id % 5 + 1) // 2 AS BIGINT) AS n_sampled
+            FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 24)
         """,
         "q_multimodal_features": """
             -- entropy over the high nibble of each byte (text is ASCII, so

@@ -92,3 +92,74 @@ def test_union_ids_many_matches_union1d(parts):
     for p in parts:
         ref = np.union1d(ref, p)
     assert (got == ref).all()
+
+
+def _mk_evaluator(term_positions, scored):
+    """Evaluator with the decode cache seeded directly (no Spark rows):
+    term_positions = {term: {doc_ord: [positions...]}}."""
+    from ds_discovery_opensearch_taxonomy_spark.functions.vtokenize import (
+        term_id_of,
+    )
+    from ds_discovery_opensearch_taxonomy_spark.operators.search import (
+        _Evaluator,
+        _TermData,
+    )
+
+    tid_map = {}
+    ev = _Evaluator(
+        rows_by_term={}, df_map={}, n_docs=1000.0, k1=1.2, b=0.75,
+        avgdl={"text": 10.0}, scored=scored, needs_pos=True,
+        tid_map=tid_map,
+    )
+    for term, docs in term_positions.items():
+        tid = term_id_of("text", term)
+        tid_map[("text", term)] = tid
+        ids = np.array(sorted(docs), dtype=np.int64)
+        pos_lists = [sorted(set(docs[d])) for d in ids.tolist()]
+        tfs = np.array([len(p) for p in pos_lists], dtype=np.int64)
+        po = np.concatenate([[0], np.cumsum(tfs)]).astype(np.int64)
+        pf = (
+            np.concatenate([np.array(p, dtype=np.int64) for p in pos_lists])
+            if pos_lists
+            else np.empty(0, dtype=np.int64)
+        )
+        ev.terms[tid] = _TermData(ids, tfs, po, pf)
+    return ev
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["alpha", "beta", "gamma"]),
+        st.dictionaries(
+            st.integers(min_value=0, max_value=40),
+            st.lists(
+                st.integers(min_value=0, max_value=30),
+                min_size=1, max_size=6,
+            ),
+            min_size=1, max_size=12,
+        ),
+        min_size=2, max_size=3,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=250, deadline=None)
+def test_sloppy_phrase_bool_existence_matches_advance_min(tp, slop):
+    """DIFFERENTIAL: the round-5 vectorized window-existence test (bool
+    mode, smallest-range argument over cached occurrence keys) must agree
+    doc-for-doc with the per-doc advance-min reference the scored path
+    still runs (freq > 0)."""
+    from ds_discovery_opensearch_taxonomy_spark.plans.queryparser import (
+        PhraseNode,
+    )
+
+    terms = sorted(tp)[:2]
+    node = PhraseNode("text", tuple((t,) for t in terms), slop=slop)
+    ids_bool, _ = _mk_evaluator(tp, scored=False)._eval_phrase(node)
+    ids_scored, _ = _mk_evaluator(tp, scored=True)._eval_phrase(node)
+    assert ids_bool.tolist() == ids_scored.tolist()
+
+    # exact phrases must agree too (cached-key chain vs run-length freqs)
+    node0 = PhraseNode("text", tuple((t,) for t in terms), slop=0)
+    b0, _ = _mk_evaluator(tp, scored=False)._eval_phrase(node0)
+    s0, _ = _mk_evaluator(tp, scored=True)._eval_phrase(node0)
+    assert b0.tolist() == s0.tolist()

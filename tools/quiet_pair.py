@@ -1,0 +1,67 @@
+"""Opportunistic quiet-window pair runner: probe the two hardware
+ceilings every few minutes; when BOTH read clean (CPU >= cpu_min, membw
+>= bw_min), immediately run one adjacent 16c+4c build_decompose pair at
+the given row count and append the result (with before/after probes) to
+.scratch/quiet_pairs.jsonl.  Runs until max_minutes elapse or n_pairs
+fire.
+
+Usage: python tools/quiet_pair.py [rows] [n_pairs] [max_minutes]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+from scaling_run import pair_ceiling  # noqa: E402
+
+
+def run_level(cpus: int, rows: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "build_decompose.py"),
+         str(cpus), str(rows)],
+        capture_output=True, text=True, timeout=3600, cwd=str(REPO),
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    max_minutes = float(sys.argv[3]) if len(sys.argv) > 3 else 120
+    cpu_min, bw_min = 0.85, 0.8
+    log = REPO / ".scratch" / "quiet_pairs.jsonl"
+    t_end = time.time() + max_minutes * 60
+    fired = 0
+    while time.time() < t_end and fired < n_pairs:
+        probe = pair_ceiling()
+        rec = {"ts_offset_min": round((t_end - time.time()) / -60 + max_minutes, 1), "probe": probe}
+        if probe["cpu"] >= cpu_min and probe["membw"] >= bw_min:
+            s16 = run_level(16, rows)
+            s4 = run_level(4, rows)
+            after = pair_ceiling()
+            eff = round(
+                s4["build_wall_sec"] / s16["build_wall_sec"] / 4.0, 3
+            )
+            rec.update(
+                {"fired": True, "s16": s16, "s4": s4,
+                 "probe_after": after, "pair_eff_build": eff}
+            )
+            fired += 1
+        else:
+            rec["fired"] = False
+        with open(log, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec)[:400], flush=True)
+        if fired < n_pairs:
+            time.sleep(240)
+
+
+if __name__ == "__main__":
+    main()

@@ -35,14 +35,19 @@ def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     max_minutes = float(sys.argv[3]) if len(sys.argv) > 3 else 120
-    cpu_min, bw_min = 0.85, 0.8
+    # membw gate is ABSOLUTE 16-worker GB/s, not the 4->16 ratio: when the
+    # bus is healthy, 4 workers already saturate most of the socket
+    # (~65 GB/s observed), so the ratio is structurally capped near 0.5 —
+    # a high ratio actually indicates a SUPPRESSED 4-worker baseline.
+    # The pathological windows collapse absolutely (16 GB/s aggregate).
+    cpu_min, bw16_min = 0.85, 110.0
     log = REPO / ".scratch" / "quiet_pairs.jsonl"
     t_end = time.time() + max_minutes * 60
     fired = 0
     while time.time() < t_end and fired < n_pairs:
         probe = pair_ceiling()
         rec = {"ts_offset_min": round((t_end - time.time()) / -60 + max_minutes, 1), "probe": probe}
-        if probe["cpu"] >= cpu_min and probe["membw"] >= bw_min:
+        if probe["cpu"] >= cpu_min and probe["membw_16_gbps"] >= bw16_min:
             s16 = run_level(16, rows)
             s4 = run_level(4, rows)
             after = pair_ceiling()
